@@ -1,0 +1,118 @@
+"""Fixed-step batched integrators: euler / midpoint / rk4 / explicit_adams.
+
+Replaces torchdiffeq's fixed-grid solvers used by the real-data decoder
+(reference: model.py:822-831 builds options {step_t, step_size, perturb} for
+methods "explicit_adams" / "midpoint" / "rk4", selected at
+experiments/run_real.py:148). TPU-native design: a `lax.scan` over the output
+grid with a statically-unrolled substep loop per interval — no Python-level
+time loops, static shapes throughout, differentiable by construction.
+
+"explicit_adams" is 4th-order Adams-Bashforth with RK4 bootstrap on the first
+three substeps; the derivative history rides in the scan carry.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tableaus
+
+Field = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+
+
+def _rk_step(field: Field, t, y, dt, args, tableau):
+    """One explicit Runge-Kutta step from a (numpy) Butcher tableau."""
+    C, A, B = tableau
+    ks = []
+    for i in range(len(C)):
+        acc = None
+        for j in range(i):
+            if A[i][j] == 0.0:
+                continue
+            term = ks[j] * A[i][j]
+            acc = term if acc is None else acc + term
+        yi = y if acc is None else y + dt * acc
+        ks.append(field(t + C[i] * dt, yi, args))
+    out = None
+    for i, b in enumerate(B):
+        if b == 0.0:
+            continue
+        term = ks[i] * b
+        out = term if out is None else out + term
+    return y + dt * out, ks[0]
+
+
+def _resolve_substeps(ts, step_size, n_substeps):
+    if n_substeps is not None:
+        return int(n_substeps)
+    if step_size is None:
+        return 1
+    try:
+        ts_np = np.asarray(jax.core.concrete_or_error(None, ts, "fixed-step grid"))
+    except Exception as exc:  # traced ts: caller must pass n_substeps
+        raise ValueError("pass n_substeps explicitly when `ts` is traced") from exc
+    max_dt = float(np.max(np.diff(ts_np)))
+    return max(1, int(math.ceil(max_dt / float(step_size) - 1e-9)))
+
+
+def odeint_fixed(
+    field: Field,
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    args: Any = None,
+    *,
+    method: str = "rk4",
+    step_size: float | None = None,
+    n_substeps: int | None = None,
+):
+    """Integrate with a fixed-step method, reporting y at each grid time.
+
+    Each interval `[ts[i], ts[i+1]]` is covered by `n_substeps` equal steps
+    (derived from `step_size` against the widest interval when not given), so
+    grid points are hit exactly — the moral equivalent of torchdiffeq's
+    `step_t` + `perturb` options without any event logic.
+    """
+    dtype = y0.dtype
+    ts = jnp.asarray(ts, dtype)
+    n_sub = _resolve_substeps(ts, step_size, n_substeps)
+    adams = method == "explicit_adams"
+    tableau = tableaus.FIXED_TABLEAUS["rk4" if adams else method]
+    ab = jnp.asarray(tableaus.AB4_COEFFS, dtype)
+
+    def substep(carry, t_dt):
+        y, fhist, count = carry
+        t, dt = t_dt
+        if not adams:
+            y1, _ = _rk_step(field, t, y, dt, args, tableau)
+            return (y1, fhist, count), None
+
+        f_new = field(t, y, args)
+        hist = jnp.concatenate([f_new[None], fhist[:-1]], axis=0)
+
+        def ab_step(_):
+            return y + dt * jnp.tensordot(ab, hist, axes=1)
+
+        def rk_boot(_):
+            y1, _ = _rk_step(field, t, y, dt, args, tableau)
+            return y1
+
+        y1 = jax.lax.cond(count >= 3, ab_step, rk_boot, None)
+        return (y1, hist, count + 1), None
+
+    def interval(carry, bounds):
+        t_lo, t_hi = bounds
+        dt = (t_hi - t_lo) / n_sub
+        sub_ts = t_lo + dt * jnp.arange(n_sub, dtype=dtype)
+        sub_dt = jnp.full((n_sub,), dt, dtype)
+        carry, _ = jax.lax.scan(substep, carry, (sub_ts, sub_dt))
+        return carry, carry[0]
+
+    fhist0 = jnp.zeros((4,) + y0.shape, dtype)
+    carry0 = (y0, fhist0, jnp.zeros((), jnp.int32))
+    _, ys_tail = jax.lax.scan(interval, carry0, (ts[:-1], ts[1:]))
+    return jnp.concatenate([y0[None], ys_tail], axis=0)

@@ -1,0 +1,146 @@
+"""Solver unit tests against closed-form ODEs (SURVEY.md §4 test plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridode.solvers import odeint, odeint_with_stats
+
+
+def exp_decay(t, y, args):
+    return -args * y
+
+
+def oscillator(t, y, args):
+    # y = (x, v): x'' = -w^2 x
+    w = args
+    x, v = y[..., 0], y[..., 1]
+    return jnp.stack([v, -(w**2) * x], axis=-1)
+
+
+TS = jnp.linspace(0.0, 5.0, 11)
+
+
+class TestDopri5:
+    def test_exponential_decay_batched(self):
+        y0 = jnp.array([[1.0, 2.0], [3.0, 0.5]])
+        lam = 0.7
+        ys = odeint(exp_decay, y0, TS, lam, method="dopri5", rtol=1e-7, atol=1e-9)
+        expected = y0[None] * jnp.exp(-lam * TS)[:, None, None]
+        np.testing.assert_allclose(ys, expected, rtol=2e-5, atol=1e-7)
+
+    def test_harmonic_oscillator(self):
+        w = 2.0
+        y0 = jnp.array([[1.0, 0.0]])
+        ys = odeint(oscillator, y0, TS, w, rtol=1e-8, atol=1e-10, max_steps=512)
+        np.testing.assert_allclose(ys[:, 0, 0], jnp.cos(w * TS), atol=5e-5)
+        np.testing.assert_allclose(ys[:, 0, 1], -w * jnp.sin(w * TS), atol=1e-4)
+
+    def test_first_output_is_y0(self):
+        y0 = jnp.array([[1.0, 2.0]])
+        ys = odeint(exp_decay, y0, TS, 1.0)
+        np.testing.assert_array_equal(ys[0], y0)
+
+    def test_stats_success(self):
+        y0 = jnp.ones((4, 3))
+        ys, stats = odeint_with_stats(exp_decay, y0, TS, 1.0)
+        assert bool(stats.success)
+        assert int(stats.n_accepted) > 0
+        assert jnp.all(jnp.isfinite(ys))
+
+    def test_max_steps_exhaustion_yields_nan(self):
+        # Force failure with a tiny step budget: unreached grid points are NaN
+        # (the reference's solver-RuntimeError analog, training_utils.py:43-47).
+        y0 = jnp.ones((2, 2))
+        ys, stats = odeint_with_stats(oscillator, y0, jnp.linspace(0.0, 100.0, 5), 50.0, rtol=1e-12, atol=1e-14,
+                                      max_steps=4)
+        assert not bool(stats.success)
+        assert bool(jnp.any(jnp.isnan(ys[-1])))
+
+    def test_gradient_through_solver(self):
+        # Backprop-through-solver: d/dlam of y(T) = y0*exp(-lam*T).
+        y0 = jnp.array([[1.0]])
+        T = 2.0
+
+        def loss(lam):
+            ys = odeint(exp_decay, y0, jnp.array([0.0, T]), lam, rtol=1e-9, atol=1e-11)
+            return ys[-1, 0, 0]
+
+        g = jax.grad(loss)(0.5)
+        expected = -T * np.exp(-0.5 * T)
+        np.testing.assert_allclose(g, expected, rtol=1e-4)
+
+    def test_gradient_wrt_y0(self):
+        def loss(y0):
+            ys = odeint(exp_decay, y0, jnp.array([0.0, 1.0]), 1.0)
+            return jnp.sum(ys[-1] ** 2)
+
+        y0 = jnp.array([[1.0, 2.0]])
+        g = jax.grad(loss)(y0)
+        expected = 2 * y0 * np.exp(-2.0)
+        np.testing.assert_allclose(g, expected, rtol=1e-4)
+
+    def test_jit_compatible(self):
+        f = jax.jit(lambda y0: odeint(exp_decay, y0, TS, 1.0))
+        ys = f(jnp.ones((2, 3)))
+        assert ys.shape == (11, 2, 3)
+
+    def test_matches_scipy_reference(self):
+        # Cross-check against scipy's RK45 on the nonlinear logistic equation.
+        import scipy.integrate as si
+
+        def logistic(t, y, args):
+            return y * (1 - y)
+
+        y0 = jnp.array([[0.1, 0.25]])
+        ts = jnp.linspace(0.0, 4.0, 9)
+        ys = odeint(logistic, y0, ts, None, rtol=1e-9, atol=1e-11, max_steps=512)
+        sol = si.solve_ivp(lambda t, y: y * (1 - y), (0, 4), np.array([0.1, 0.25]),
+                           t_eval=np.asarray(ts), rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(ys[:, 0, :], sol.y.T, rtol=1e-5, atol=1e-7)
+
+
+class TestFixedStep:
+    @pytest.mark.parametrize("method,tol", [("euler", 2e-2), ("midpoint", 1e-4), ("rk4", 1e-6),
+                                            ("explicit_adams", 1e-5)])
+    def test_convergence_exp(self, method, tol):
+        y0 = jnp.array([[1.0]])
+        ts = jnp.linspace(0.0, 1.0, 3)
+        ys = odeint(exp_decay, y0, ts, 1.0, method=method, n_substeps=64)
+        expected = jnp.exp(-ts)
+        np.testing.assert_allclose(ys[:, 0, 0], expected, rtol=tol, atol=tol)
+
+    def test_rk4_order(self):
+        # Halving step size should cut error ~16x for RK4.
+        y0 = jnp.array([[1.0]])
+        ts = jnp.array([0.0, 1.0])
+        errs = []
+        for n in (4, 8):
+            ys = odeint(exp_decay, y0, ts, 1.0, method="rk4", n_substeps=n)
+            errs.append(abs(float(ys[-1, 0, 0]) - np.exp(-1.0)))
+        assert errs[0] / max(errs[1], 1e-16) > 10
+
+    def test_step_size_resolution(self):
+        y0 = jnp.array([[1.0]])
+        ts = jnp.linspace(0.0, 2.0, 5)  # interval 0.5
+        ys = odeint(exp_decay, y0, ts, 1.0, method="rk4", step_size=0.1)  # 5 substeps
+        np.testing.assert_allclose(ys[:, 0, 0], jnp.exp(-ts), rtol=1e-5)
+
+    def test_adams_gradient(self):
+        def loss(lam):
+            ys = odeint(exp_decay, jnp.ones((1, 1)), jnp.array([0.0, 1.0]), lam,
+                        method="explicit_adams", n_substeps=32)
+            return ys[-1, 0, 0]
+
+        g = jax.grad(loss)(1.0)
+        np.testing.assert_allclose(g, -np.exp(-1.0), rtol=1e-3)
+
+    def test_time_dependent_field(self):
+        # y' = cos(t) -> y = sin(t); exercises substep time bookkeeping.
+        def f(t, y, args):
+            return jnp.broadcast_to(jnp.cos(t), y.shape)
+
+        ts = jnp.linspace(0.0, 3.0, 7)
+        ys = odeint(f, jnp.zeros((1, 1)), ts, None, method="rk4", n_substeps=16)
+        np.testing.assert_allclose(ys[:, 0, 0], jnp.sin(ts), atol=1e-6)
