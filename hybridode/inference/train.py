@@ -1,0 +1,157 @@
+"""Jitted Adam training loop with the reference's restart/early-stop semantics.
+
+Reference: training_utils.py:8-97 (variational_training_loop) and
+run_simulation.py:95-145 (restart loop; frozen expert parameters via
+optimizer param selection at run_simulation.py:125-131).
+
+TPU-native shape: one jitted `(params, opt_state, batch, key) -> (params,
+opt_state, loss)` step; mini-batch indices are drawn on host and gathered on
+device; parameter freezing is an `optax.multi_transform` label tree instead
+of param-list surgery. Solver failure semantics (reference catches
+RuntimeError, training_utils.py:43-47) map to finite-loss gating: a non-finite
+training loss breaks the loop, a non-finite validation loss adds 1e9.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import checkpoint as ckpt
+from .elbo import VIModel, loss_fn
+
+
+def param_labels(params, train_expert: bool = False):
+    """Label tree for optax.multi_transform: "train" vs "freeze".
+
+    Sim experiments freeze the 13 expert PK/PD constants (and the ablation
+    thetas) — the optimizer there sees only encoder + output head + ml_net
+    (run_simulation.py:125-131). Real experiments train everything
+    (run_real.py:85).
+    """
+    labels = jax.tree_util.tree_map(lambda _: "train", params)
+    if train_expert:
+        return labels
+    ode = params.get("decoder", {}).get("ode", {})
+    for k in ("expert", "theta_1", "theta_2"):
+        if k in ode:
+            labels["decoder"]["ode"][k] = jax.tree_util.tree_map(lambda _: "freeze", ode[k])
+    return labels
+
+
+def make_optimizer(lr: float, params, train_expert: bool = False):
+    labels = param_labels(params, train_expert)
+    return optax.multi_transform({"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels)
+
+
+def make_train_step(model: VIModel, optimizer) -> Callable:
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, model, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_loss(model: VIModel) -> Callable:
+    @jax.jit
+    def eval_loss(params, batch, key):
+        return loss_fn(params, model, batch, key)
+
+    return eval_loss
+
+
+def variational_training_loop(
+    niters: int,
+    data_generator: Any,
+    model: VIModel,
+    params,
+    batch_size: int,
+    lr: float,
+    test_freq: int,
+    key,
+    best_on_disk: float = 1e9,
+    early_stop: int = 5,
+    path: str = "model/",
+    shuffle: bool = True,
+    train_fold: str = "train",
+    train_expert: bool = False,
+    verbose: bool = True,
+):
+    """Mirror of reference training_utils.variational_training_loop.
+
+    Returns (params, best_on_disk, wall_time). Checkpoints to
+    path + model.model_name only when validation beats the cross-restart
+    best; reloads the best checkpoint before returning.
+    """
+    optimizer = make_optimizer(lr, params, train_expert)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer)
+    eval_loss = make_eval_loss(model)
+
+    best_loss = 1e9
+    early_stop_counter = 0
+    fold_size = data_generator.train_size if train_fold == "train" else data_generator.val_size
+    train_chunk = max(1, fold_size // batch_size)
+    val_chunks = max(1, data_generator.val_size // batch_size)
+
+    rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    start = time.time()
+
+    for itr in range(1, niters + 1):
+        if shuffle:
+            batch = data_generator.get_mini_batch(train_fold, batch_size, rng)
+        else:
+            batch = data_generator.get_split(train_fold, batch_size, itr % train_chunk)
+
+        key, k_step = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, batch, k_step)
+
+        if not np.isfinite(float(loss)):
+            if verbose:
+                print("non-finite training loss; stopping this restart")
+            break
+
+        if itr % test_freq == 0:
+            total_loss = 0.0
+            for chunk in range(val_chunks):
+                vbatch = data_generator.get_split("val", batch_size, chunk)
+                key, k_val = jax.random.split(key)
+                chunk_loss = float(eval_loss(params, vbatch, k_val))
+                total_loss += chunk_loss if np.isfinite(chunk_loss) else 1e9
+            if verbose:
+                print("Iter {:04d} | Total Loss {:.6f} | Train Loss {:.6f}".format(itr, total_loss, float(loss)))
+            if total_loss < best_loss:
+                best_loss = total_loss
+                early_stop_counter = 0
+            else:
+                early_stop_counter += 1
+
+            if total_loss < best_on_disk:
+                best_on_disk = total_loss
+                ckpt.save_checkpoint(path, model.model_name, params, itr, best_on_disk)
+
+        if early_stop_counter >= early_stop:
+            break
+
+    wall = time.time() - start
+
+    try:
+        best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)
+    except FileNotFoundError:
+        ckpt.save_checkpoint(path, model.model_name, params, 0, best_on_disk)
+        best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)
+
+    params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    if verbose:
+        print("Time: {}".format(wall))
+        print("Overall best loss: {:.6f}".format(best_on_disk))
+    return params, best_on_disk, wall
