@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Latent-size sweep: encoder_output_dim in {10, 15} (reference Fig9.sh),
+# plus LHM vs LHM-NF training-curve logs.
+set -e
+cd "$(dirname "$0")/.."
+DATA=${DATA:-data/datafile_dose_exp.pkl}
+RESTART=${RESTART:-3}
+OUT=results/results_latent.txt
+mkdir -p results model
+: > "$OUT"
+
+for DIM in 10 15; do
+  LOG=results/run_hybrid_latent${DIM}.txt
+  python -m hybridode.cli.run_simulation --method=hybrid --sample=800 \
+    --path=model/latent${DIM}_ --restart=$RESTART --encoder_output_dim=$DIM \
+    --data_path=$DATA > "$LOG"
+  tail -n 4 "$LOG" >> "$OUT"
+done
+
+# Training curves (iter, val, train) for Fig9's right panel:
+python -m hybridode.cli.run_simulation --method=hybrid --sample=800 --path=model/curve_ \
+  --restart=1 --arg_itr=400 --data_path=$DATA \
+  | grep '^Iter' | awk '{gsub(/[^0-9.]/,"",$2); print $2","$6","$10}' > results/exp_lhm.csv || true
+python -m hybridode.cli.run_simulation_flow --sample=800 --path=model/curvef_ \
+  --restart=1 --arg_itr=200 --data_path=$DATA \
+  | grep '^Iter' | awk '{gsub(/[^0-9.]/,"",$2); print $2","$6","$10}' > results/exp_flow.csv || true
+echo "wrote $OUT"

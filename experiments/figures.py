@@ -1,0 +1,156 @@
+"""Figure generation from experiment outputs — replaces Fig{3,6,7,9}.ipynb.
+
+The reference parses `results/*.txt` (4-line CSV tails per run, in a fixed
+method order) and horizon pickles in notebooks; this script does the same in
+one CLI: `python experiments/figures.py --which fig3|fig6|fig7|fig9|all`.
+Outputs PNG + tidy CSV under results/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "results")
+
+# Method order of the 4-line blocks appended by fig3.sh / run_dim.sh /
+# run_noise_level.sh (same convention as the reference's Fig3.sh).
+SIM_METHODS = ["neural", "expert", "hybrid", "residual", "ensemble2"]
+NOISE_METHODS = ["neural", "expert", "hybrid", "flow"]
+METRICS = ["rmse_z0", "rmse_x", "cprs_z0", "cprs_x"]
+
+
+def parse_blocks(path, methods, groups):
+    """Parse a results txt of len(groups)*len(methods) 4-line blocks into a
+    tidy DataFrame (group, method, metric, value, sd)."""
+    rows = []
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    idx = 0
+    for group in groups:
+        for method in methods:
+            for _ in range(4):
+                if idx >= len(lines):
+                    break
+                metric, value, sd = lines[idx].split(",")
+                rows.append(dict(group=group, method=method, metric=metric,
+                                 value=float(value), sd=float(sd)))
+                idx += 1
+    return pd.DataFrame(rows)
+
+
+def _bar_panel(df, metric, title, out_png):
+    sub = df[df.metric == metric]
+    groups = sub.group.unique()
+    methods = sub.method.unique()
+    width = 0.8 / len(methods)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for i, m in enumerate(methods):
+        d = sub[sub.method == m]
+        xs = np.arange(len(groups)) + i * width
+        ax.bar(xs, d.value, width=width, yerr=d.sd, label=m, capsize=2)
+    ax.set_xticks(np.arange(len(groups)) + 0.4 - width / 2)
+    ax.set_xticklabels(groups)
+    ax.set_ylabel(metric)
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+
+
+def fig3():
+    path = os.path.join(RESULTS, "results_sample.txt")
+    df = parse_blocks(path, SIM_METHODS, ["310", "400", "800"])
+    df.to_csv(os.path.join(RESULTS, "fig3_tidy.csv"), index=False)
+    _bar_panel(df, "rmse_x", "Test RMSE vs sample size", os.path.join(RESULTS, "fig3_rmse.png"))
+    _bar_panel(df, "cprs_x", "Test CRPS vs sample size", os.path.join(RESULTS, "fig3_crps.png"))
+    print("fig3 done")
+
+
+def fig_dim():
+    path = os.path.join(RESULTS, "results_dim.txt")
+    df = parse_blocks(path, SIM_METHODS, ["dim8", "dim12"])
+    df.to_csv(os.path.join(RESULTS, "figdim_tidy.csv"), index=False)
+    _bar_panel(df, "rmse_x", "Test RMSE vs latent dim", os.path.join(RESULTS, "figdim_rmse.png"))
+    print("fig_dim done")
+
+
+def fig_noise():
+    path = os.path.join(RESULTS, "results_noise.txt")
+    df = parse_blocks(path, NOISE_METHODS, ["0.4", "0.8"])
+    df.to_csv(os.path.join(RESULTS, "fignoise_tidy.csv"), index=False)
+    _bar_panel(df, "rmse_x", "Test RMSE vs noise level", os.path.join(RESULTS, "fignoise_rmse.png"))
+    print("fig_noise done")
+
+
+def fig6():
+    path = os.path.join(RESULTS, "results_t0.txt")
+    df = parse_blocks(path, ["neural", "expert", "hybrid"], ["10", "12"])
+    df.to_csv(os.path.join(RESULTS, "fig6_tidy.csv"), index=False)
+    _bar_panel(df, "rmse_x", "Test RMSE vs observation window t0", os.path.join(RESULTS, "fig6_rmse.png"))
+    print("fig6 done")
+
+
+def fig7():
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for method in ["neural", "expert", "hybrid", "ensemble", "residual"]:
+        p = os.path.join(RESULTS, f"horizon_{method}.pkl")
+        if not os.path.exists(p):
+            continue
+        with open(p, "rb") as f:
+            d = pickle.load(f)
+        xs = np.arange(len(d["rmse_x"]))
+        ax.plot(xs, d["rmse_x"], label=method)
+        ax.fill_between(xs, d["rmse_x"] - d["rmse_x_sd"], d["rmse_x"] + d["rmse_x_sd"], alpha=0.2)
+    ax.set_xlabel("forecast horizon (steps past t0)")
+    ax.set_ylabel("rmse_x")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(RESULTS, "fig7_horizon.png"), dpi=150)
+    plt.close(fig)
+    print("fig7 done")
+
+
+def fig9():
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, label in [("exp_lhm.csv", "LHM"), ("exp_flow.csv", "LHM-NF")]:
+        p = os.path.join(RESULTS, name)
+        if not os.path.exists(p):
+            continue
+        df = pd.read_csv(p, names=["iter", "val", "train"])
+        ax.plot(df["iter"], df["val"], label=f"{label} val")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("neg-ELBO (validation)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(RESULTS, "fig9_curves.png"), dpi=150)
+    plt.close(fig)
+    print("fig9 done")
+
+
+ALL = {"fig3": fig3, "dim": fig_dim, "noise": fig_noise, "fig6": fig6, "fig7": fig7, "fig9": fig9}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--which", default="all", choices=["all"] + list(ALL))
+    args = parser.parse_args()
+    todo = ALL.values() if args.which == "all" else [ALL[args.which]]
+    for fn in todo:
+        try:
+            fn()
+        except FileNotFoundError as e:
+            print(f"skip ({e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Shared CLI plumbing: method-string -> VIModel construction.
+
+Mirrors the reference's method dispatch (run_simulation.py:84-115,
+run_simulation.py:194-209) so the same flags produce the same model family.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from ..config import DataConfig, dim8_config, dim12_config
+from ..inference import VIModel
+from ..models.decoders import RealBenchmarkSpec, RealDecoderSpec, SimDecoderSpec
+from ..models.encoders import EncoderLSTMRealSpec, EncoderLSTMSpec, EncoderPlanarLSTMSpec
+
+
+def enable_compile_cache():
+    cache = os.environ.get("HYBRIDODE_CACHE", os.path.join(os.getcwd(), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def resolve_data_config(name: str | None, sample: int) -> DataConfig:
+    if name == "dim8":
+        return dim8_config
+    if name == "dim12":
+        return dim12_config
+    return DataConfig(n_sample=sample)
+
+
+def build_sim_model(
+    method: str,
+    data_config: DataConfig,
+    encoder_output_dim: int | None = None,
+    elbo: bool = True,
+    ode_method: str = "dopri5",
+    ablate: bool = False,
+    mc_size: int = 100,
+    max_steps: int = 1024,
+    rtol: float = 1e-7,
+    atol: float = 1e-8,
+    flow: bool = False,
+    num_flows: int = 4,
+) -> VIModel:
+    """expert / neural / hybrid -> VIModel (run_simulation.py:79-115).
+
+    expert: 4 encoder latents, Roche field, Exponential prior, positivity
+    normalization. neural: full latents, black-box field, analytic-normal KL,
+    no normalization. hybrid: full latents, Roche+ml field, Exponential prior.
+    """
+    obs = data_config.obs_dim
+    act = data_config.action_dim
+    neural = method == "neural"
+    if encoder_output_dim is None:
+        encoder_output_dim = 4 if method == "expert" else data_config.latent_dim
+
+    normalize = not neural
+    prior = None if neural else "exponential"
+    roche = not neural
+
+    hidden = int(obs * 2.0)  # encoder_latent_ratio=2.0 (sim_config.py:42)
+    if flow:
+        enc = EncoderPlanarLSTMSpec(obs + act, hidden, encoder_output_dim, num_flows=num_flows, normalize=normalize)
+    else:
+        enc = EncoderLSTMSpec(obs + act, hidden, encoder_output_dim, normalize=normalize)
+    dec = SimDecoderSpec(
+        obs,
+        encoder_output_dim,
+        act,
+        t_max=data_config.t_max,
+        step_size=data_config.step_size,
+        roche=roche,
+        ablate=ablate,
+        method=ode_method,
+        max_steps=max_steps,
+        rtol=rtol,
+        atol=atol,
+    )
+    return VIModel(
+        kind="flow" if flow else "sim",
+        encoder_spec=enc,
+        decoder_spec=dec,
+        elbo=elbo,
+        prior=prior,
+        mc_size=mc_size,
+    )
+
+
+def build_real_model(
+    method: str,
+    obs_dim: int,
+    action_dim: int,
+    static_dim: int,
+    t_max: int,
+    step_size: float,
+    encoder_output_dim: int = 20,
+    encoder_latent_ratio: float = 1.2,
+    ode_method: str = "explicit_adams",
+    ode_step_div: int = 1,
+    t0: int = 24,
+    weight: bool = False,
+) -> VIModel:
+    """neural / hybrid / expert / 2nd / tlstm / gruode (run_real.py:38-72)."""
+    input_dim = obs_dim + action_dim + static_dim + 1
+    enc = EncoderLSTMRealSpec(input_dim, int(input_dim * encoder_latent_ratio), encoder_output_dim, reverse=False)
+
+    hidden_dim = int((obs_dim + action_dim + static_dim) * encoder_latent_ratio)
+    if method in ("hybrid", "neural", "2nd", "expert"):
+        dec = RealDecoderSpec(
+            obs_dim,
+            encoder_output_dim,
+            action_dim,
+            static_dim,
+            hidden_dim,
+            t_max=t_max,
+            step_size=step_size,
+            t0=t0,
+            method=ode_method,
+            ode_step_size=step_size / ode_step_div,
+            ode_type=method,
+        )
+    else:
+        dec = RealBenchmarkSpec(
+            obs_dim,
+            encoder_output_dim,
+            action_dim,
+            static_dim,
+            hidden_dim,
+            t_max=t_max,
+            step_size=step_size,
+            t0=t0,
+            ode_type=method,
+        )
+    return VIModel(kind="real", encoder_spec=enc, decoder_spec=dec, elbo=False, t0=t0, weight=weight)

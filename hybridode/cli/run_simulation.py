@@ -1,0 +1,139 @@
+"""Simulation-study CLI: train/evaluate expert / neural / hybrid LHM models.
+
+Flag-compatible re-design of experiments/run_simulation.py (reference):
+n_restart loop with a shared on-disk best (run_simulation.py:95-145), frozen
+expert parameters in the optimizer (125-131), then `evaluate` at t0.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..config import EvalConfig, OptimConfig
+from ..data import SyntheticCohort
+from ..eval import evaluate
+from ..inference import VIModel, init_vi, load_checkpoint, variational_training_loop
+from . import common
+
+
+def run(
+    seed: int,
+    elbo: bool,
+    eval_only: bool,
+    init_path: str | None,
+    data_path: str,
+    sample: int,
+    data_config,
+    model_method: str,
+    path: str,
+    optim_config: OptimConfig,
+    eval_config: EvalConfig,
+    encoder_output_dim=None,
+    ablate: bool = False,
+    arg_itr: int | None = None,
+):
+    common.enable_compile_cache()
+    key = jax.random.PRNGKey(seed)
+
+    dg = SyntheticCohort.load(data_path)
+    if not eval_only:
+        dg.set_train_size(sample)
+    print("Training with {} samples".format(sample))
+
+    model = common.build_sim_model(
+        model_method,
+        data_config,
+        encoder_output_dim=encoder_output_dim,
+        elbo=elbo,
+        ode_method=optim_config.ode_method,
+        ablate=ablate,
+    )
+
+    niters = optim_config.niters if arg_itr is None else arg_itr
+    best_on_disk = 1e9
+    params = None
+
+    for i in range(optim_config.n_restart):
+        key, k_init, k_train = jax.random.split(key, 3)
+        params = init_vi(k_init, model)
+
+        if eval_only:
+            break
+
+        if init_path is not None:
+            params, _, _ = load_checkpoint(init_path, model.model_name)
+            params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+
+        params, best_on_disk, _ = variational_training_loop(
+            niters=niters,
+            data_generator=dg,
+            model=model,
+            params=params,
+            batch_size=optim_config.batch_size,
+            lr=optim_config.lr,
+            test_freq=optim_config.test_freq,
+            key=k_train,
+            path=path,
+            best_on_disk=best_on_disk,
+            early_stop=optim_config.early_stop,
+            shuffle=optim_config.shuffle,
+        )
+
+    if eval_only:
+        params, _, best_loss = load_checkpoint(path, model.model_name)
+        params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+        print("Overall best loss: {:.6f}".format(best_loss))
+
+    key, k_eval = jax.random.split(key)
+    evaluate(params, model, dg, optim_config.batch_size, eval_config.t0, key=k_eval)
+    return params, model
+
+
+def build_parser():
+    parser = argparse.ArgumentParser("PKPD simulation")
+    parser.add_argument("--method", choices=["expert", "neural", "hybrid"], default="hybrid", type=str)
+    parser.add_argument("--device", choices=["0", "1", "c"], default="1", type=str)  # interface parity; ignored
+    parser.add_argument("--seed", default=666, type=int)
+    parser.add_argument("--sample", default=1000, type=int)
+    parser.add_argument("--path", default=None, type=str)
+    parser.add_argument("--restart", default=3, type=int)
+    parser.add_argument("--arg_itr", default=None, type=int)
+    parser.add_argument("--eval", default="n", type=str)
+    parser.add_argument("--elbo", default="y", type=str)
+    parser.add_argument("--init", default=None, type=str)
+    parser.add_argument("--batch_size", default=50, type=int)
+    parser.add_argument("--t0", default=5, type=int)
+    parser.add_argument("--lr", default=0.01, type=float)
+    parser.add_argument("--data_config", default=None, type=str)
+    parser.add_argument("--encoder_output_dim", default=None, type=int)
+    parser.add_argument("--data_path", default="data/datafile_dose_exp.pkl", type=str)
+    parser.add_argument("--ablate", default=False, type=bool)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    data_config = common.resolve_data_config(args.data_config, args.sample)
+    optim_config = OptimConfig(shuffle=False, n_restart=args.restart, batch_size=args.batch_size, lr=args.lr)
+    run(
+        seed=args.seed,
+        elbo=args.elbo == "y",
+        eval_only=args.eval == "y",
+        init_path=args.init,
+        data_path=args.data_path,
+        sample=args.sample,
+        data_config=data_config,
+        model_method=args.method,
+        path=args.path,
+        optim_config=optim_config,
+        eval_config=EvalConfig(t0=args.t0),
+        encoder_output_dim=args.encoder_output_dim,
+        ablate=args.ablate,
+        arg_itr=args.arg_itr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -95,13 +95,12 @@ class SyntheticCohort:
 
     # --- generation ---------------------------------------------------------
 
-    def _ground_truth_params(self):
-        expert = {k: jnp.asarray(v, self.dtype) for k, v in self.roche_config.as_dict().items()}
+    def _ground_truth_params(self, dtype=None):
+        dtype = dtype or self.dtype
+        expert = {k: jnp.asarray(v, dtype) for k, v in self.roche_config.as_dict().items()}
         params = {"expert": expert}
         if self.ml_dim > 0:
-            params["ml_net"] = [
-                {"w": jnp.asarray(self.ml_coef, self.dtype), "b": jnp.zeros((self.ml_dim,), self.dtype)}
-            ]
+            params["ml_net"] = [{"w": jnp.asarray(self.ml_coef, dtype), "b": jnp.zeros((self.ml_dim,), dtype)}]
         return params
 
     def get_initial_conditions(self):
@@ -117,27 +116,45 @@ class SyntheticCohort:
         dose_amount = self.rng.rand(self.n_sample) * self.dose_max
         return dose_time, dose_amount
 
-    def generate_data(self, rtol: float = 1e-8, atol: float = 1e-10, max_steps: int = 4096):
+    def generate_data(self, rtol: float = 1e-8, atol: float = 1e-10, max_steps: int = 4096,
+                      backend: str = "jax"):
         init = self.get_initial_conditions()
         dose_time, dose_amount = self.get_action()
         self.dose_time = dose_time
         self.dose_amount = dose_amount
 
-        params = self._ground_truth_params()
-        ctx = DoseContext(
-            times=jnp.asarray(dose_time, self.dtype),
-            amounts=jnp.asarray(dose_amount, self.dtype),
-        )
-        ts = np.arange(0.0, self.t_max + self.step_size, self.step_size, dtype=np.float32)
+        ts = np.arange(0.0, self.t_max + self.step_size, self.step_size, dtype=np.float64)
 
         # One batched solve for the entire cohort (vs. the reference's
-        # per-patient LSODA loop).
-        solve = jax.jit(
-            lambda y0: odeint(
-                roche_field, y0, jnp.asarray(ts), (params, ctx), rtol=rtol, atol=atol, max_steps=max_steps
+        # per-patient LSODA loop, dataloader.py:247-252). Ground truth is
+        # computed in float64 — the same numerical regime as the reference's
+        # f64 LSODA; the tight 1e-8/1e-10 tolerances are unreachable in f32.
+        # backend="jax": batched dopri5 on the host CPU backend.
+        # backend="native": the C++ integrator (hybridode/native).
+        if backend == "native":
+            from .. import native
+            from ..config import ROCHE_PARAM_NAMES
+
+            params13 = np.array([getattr(self.roche_config, n) for n in ROCHE_PARAM_NAMES], np.float64)
+            latents = native.roche_dopri5_batch(
+                init, dose_time.astype(np.float64), dose_amount, params13,
+                self.ml_coef if self.ml_dim > 0 else None, ts,
+                rtol=rtol, atol=atol, max_steps=100000,
             )
-        )
-        latents = np.asarray(solve(jnp.asarray(init, self.dtype)))  # (T, B, D)
+        else:
+            cpu = jax.devices("cpu")[0]
+            with jax.enable_x64(), jax.default_device(cpu):
+                params = self._ground_truth_params(dtype=jnp.float64)
+                ctx = DoseContext(
+                    times=jnp.asarray(dose_time, jnp.float64),
+                    amounts=jnp.asarray(dose_amount, jnp.float64),
+                )
+                solve = jax.jit(
+                    lambda y0: odeint(
+                        roche_field, y0, jnp.asarray(ts), (params, ctx), rtol=rtol, atol=atol, max_steps=max_steps
+                    )
+                )
+                latents = np.asarray(solve(jnp.asarray(init, jnp.float64)))  # (T, B, D)
         assert np.all(np.isfinite(latents)), "ground-truth solve failed"
 
         # Linear observation head + Gaussian noise (dataloader.py:169-172).

@@ -61,6 +61,34 @@ def make_train_step(model: VIModel, optimizer) -> Callable:
     return step
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_step_and_eval(model: VIModel, lr: float, train_expert: bool, labels_key):
+    """One jitted (step, eval_loss) pair per (model, lr, freeze-labels): the
+    reference's restart loop re-enters the training loop n_restart times
+    (run_simulation.py:95) — without this cache each restart would re-trace
+    and re-compile the identical program."""
+    labels = labels_key.tree
+    optimizer = optax.multi_transform({"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels)
+    step = make_train_step(model, optimizer)
+    eval_loss = make_eval_loss(model)
+    return optimizer, step, eval_loss
+
+
+class _HashableTree:
+    """Hashable wrapper for a labels pytree (structure + leaf strings)."""
+
+    def __init__(self, tree):
+        self.tree = tree
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        self._key = (tuple(leaves), treedef)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableTree) and self._key == other._key
+
+
 def make_eval_loss(model: VIModel) -> Callable:
     @jax.jit
     def eval_loss(params, batch, key):
@@ -85,6 +113,8 @@ def variational_training_loop(
     train_fold: str = "train",
     train_expert: bool = False,
     verbose: bool = True,
+    curve_path: str | None = None,
+    events_path: str | None = None,
 ):
     """Mirror of reference training_utils.variational_training_loop.
 
@@ -92,10 +122,9 @@ def variational_training_loop(
     path + model.model_name only when validation beats the cross-restart
     best; reloads the best checkpoint before returning.
     """
-    optimizer = make_optimizer(lr, params, train_expert)
+    labels = _HashableTree(param_labels(params, train_expert))
+    optimizer, step, eval_loss = _cached_step_and_eval(model, lr, train_expert, labels)
     opt_state = optimizer.init(params)
-    step = make_train_step(model, optimizer)
-    eval_loss = make_eval_loss(model)
 
     best_loss = 1e9
     early_stop_counter = 0
@@ -103,6 +132,10 @@ def variational_training_loop(
     train_chunk = max(1, fold_size // batch_size)
     val_chunks = max(1, data_generator.val_size // batch_size)
 
+    from ..utils import CSVCurveLogger, JSONLLogger
+
+    curve = CSVCurveLogger(curve_path)
+    events = JSONLLogger(events_path)
     rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
     start = time.time()
 
@@ -129,6 +162,8 @@ def variational_training_loop(
                 total_loss += chunk_loss if np.isfinite(chunk_loss) else 1e9
             if verbose:
                 print("Iter {:04d} | Total Loss {:.6f} | Train Loss {:.6f}".format(itr, total_loss, float(loss)))
+            curve.log(itr, total_loss, float(loss))
+            events.log("val", itr=itr, val_loss=total_loss, train_loss=float(loss))
             if total_loss < best_loss:
                 best_loss = total_loss
                 early_stop_counter = 0
@@ -143,6 +178,9 @@ def variational_training_loop(
             break
 
     wall = time.time() - start
+    events.log("done", wall=wall, best_on_disk=float(best_on_disk))
+    curve.close()
+    events.close()
 
     try:
         best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)

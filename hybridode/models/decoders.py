@@ -53,7 +53,7 @@ class SimDecoderSpec(NamedTuple):
     rtol: float = 1e-7
     atol: float = 1e-8
     ode_step_size: Optional[float] = None
-    max_steps: int = 256
+    max_steps: int = 1024
 
     @property
     def model_name(self) -> str:
@@ -69,6 +69,12 @@ class SimDecoderSpec(NamedTuple):
     def ts(self) -> np.ndarray:
         # Evaluation grid arange(0, t_max + step, step) (model.py:1072).
         return np.arange(0.0, self.t_max + self.step_size, self.step_size, dtype=np.float32)
+
+    @property
+    def n_substeps(self) -> int:
+        if self.ode_step_size is None:
+            return 1
+        return max(1, int(round(self.step_size / self.ode_step_size)))
 
 
 def init_sim_decoder(key, spec: SimDecoderSpec, roche_config: RocheConfig | None = None, dtype=DTYPE):
@@ -96,6 +102,7 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
         rtol=spec.rtol,
         atol=spec.atol,
         step_size=spec.ode_step_size,
+        n_substeps=spec.n_substeps,
         max_steps=spec.max_steps,
     )
     x_hat = nn.linear_apply(params["output"], h)

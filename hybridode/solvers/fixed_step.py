@@ -53,7 +53,7 @@ def _resolve_substeps(ts, step_size, n_substeps):
     if step_size is None:
         return 1
     try:
-        ts_np = np.asarray(jax.core.concrete_or_error(None, ts, "fixed-step grid"))
+        ts_np = np.asarray(ts)
     except Exception as exc:  # traced ts: caller must pass n_substeps
         raise ValueError("pass n_substeps explicitly when `ts` is traced") from exc
     max_dt = float(np.max(np.diff(ts_np)))

@@ -1,0 +1,110 @@
+"""Multi-device DP tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridode.inference import VIModel, init_vi, loss_fn, make_optimizer
+from hybridode.models.decoders import SimDecoderSpec
+from hybridode.models.encoders import EncoderLSTMSpec
+from hybridode.parallel import make_dp_eval_loss, make_dp_train_step, make_mesh, replicate, shard_batch
+
+
+def tiny_model(elbo=False):
+    obs, latent = 6, 4
+    enc = EncoderLSTMSpec(obs + 1, 8, latent, normalize=True)
+    dec = SimDecoderSpec(obs, latent, 1, t_max=4, step_size=1, roche=True, method="rk4", ode_step_size=0.5)
+    return VIModel(kind="sim", encoder_spec=enc, decoder_spec=dec, elbo=elbo, prior="exponential", mc_size=4)
+
+
+def tiny_batch(B=16, T=5, obs=6):
+    k = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(k)
+    return {
+        "measurements": jax.random.normal(k1, (T, B, obs)),
+        "actions": jnp.zeros((T, B, 1)).at[2, :, 0].set(0.3),
+        "masks": (jax.random.uniform(k2, (T, B, obs)) > 0.3).astype(jnp.float32),
+        "latents": jnp.abs(jax.random.normal(k1, (T, B, 4))) * 0.01,
+    }
+
+
+class TestDP:
+    def test_mesh_has_8_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_dp_step_runs_and_updates(self):
+        model = tiny_model(elbo=False)
+        params = init_vi(jax.random.PRNGKey(0), model)
+        mesh = make_mesh()
+        optimizer = make_optimizer(0.01, params)
+        opt_state = optimizer.init(params)
+
+        p = replicate(params, mesh)
+        s = replicate(opt_state, mesh)
+        batch = shard_batch(tiny_batch(B=16), mesh)
+
+        step = make_dp_train_step(model, optimizer, mesh)
+        p2, s2, loss = step(p, s, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        assert not np.allclose(np.asarray(p2["encoder"]["lin"]["w"]), np.asarray(params["encoder"]["lin"]["w"]))
+
+    def test_dp_loss_matches_single_device(self):
+        """elbo=False is deterministic: the pmean'd DP loss must equal the
+        single-device global-batch loss exactly (sum/B normalization)."""
+        model = tiny_model(elbo=False)
+        params = init_vi(jax.random.PRNGKey(0), model)
+        batch = tiny_batch(B=16)
+
+        single = float(loss_fn(params, model, batch, jax.random.PRNGKey(1)))
+
+        mesh = make_mesh()
+        eval_loss = make_dp_eval_loss(model, mesh)
+        dp = float(eval_loss(replicate(params, mesh), shard_batch(batch, mesh), jax.random.PRNGKey(1)))
+        np.testing.assert_allclose(dp, single, rtol=1e-5)
+
+    def test_dp_grads_match_single_device(self):
+        """DP psum-of-grads == single-device grads for the deterministic loss."""
+        import optax
+
+        model = tiny_model(elbo=False)
+        params = init_vi(jax.random.PRNGKey(0), model)
+        batch = tiny_batch(B=16)
+        optimizer = make_optimizer(0.01, params)
+        opt_state = optimizer.init(params)
+
+        # single device step
+        loss, grads = jax.value_and_grad(loss_fn)(params, model, batch, jax.random.PRNGKey(1))
+        updates, _ = optimizer.update(grads, opt_state, params)
+        p_single = optax.apply_updates(params, updates)
+
+        # 8-device DP step
+        mesh = make_mesh()
+        step = make_dp_train_step(model, optimizer, mesh)
+        p_dp, _, _ = step(replicate(params, mesh), replicate(opt_state, mesh),
+                          shard_batch(batch, mesh), jax.random.PRNGKey(1))
+
+        np.testing.assert_allclose(np.asarray(p_dp["encoder"]["lin"]["w"]),
+                                   np.asarray(p_single["encoder"]["lin"]["w"]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p_dp["decoder"]["output"]["w"]),
+                                   np.asarray(p_single["decoder"]["output"]["w"]), atol=2e-6)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        loss = jax.jit(fn)(*args)
+        assert np.isfinite(float(loss))
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
