@@ -41,7 +41,7 @@ def build_sim_model(
     ode_method: str = "dopri5",
     ablate: bool = False,
     mc_size: int = 100,
-    max_steps: int = 4096,
+    max_steps: int = 512,
     rtol: float = 1e-7,
     atol: float = 1e-8,
     flow: bool = False,

@@ -112,4 +112,4 @@ class SolverConfig:
     rtol: float = 1e-7
     atol: float = 1e-8
     step_size: Optional[float] = None
-    max_steps: int = 4096
+    max_steps: int = 512

@@ -53,7 +53,7 @@ class SimDecoderSpec(NamedTuple):
     rtol: float = 1e-7
     atol: float = 1e-8
     ode_step_size: Optional[float] = None
-    max_steps: int = 4096
+    max_steps: int = 512
 
     @property
     def model_name(self) -> str:

@@ -99,8 +99,26 @@ def _dopri5_step(field: Field, t, y, f0, h, args):
     return y1, f1, err, k
 
 
-def _error_norm(err, y0, y1, rtol, atol):
-    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+def _error_norm(err, y0, y1, rtol, atol, h=0.0, k_mag=0.0):
+    """Scaled RMS error with a floating-point noise floor.
+
+    In f32, the embedded error estimate bottoms out at rounding noise;
+    demanding rtol below that makes the controller chase noise and collapse
+    the step size (measured: the neural field at rtol=1e-7 takes ~3500 f32
+    steps vs 29 in f64 for the same trajectory — pure noise-chasing). Two
+    noise terms widen the scale:
+
+      * ~10*eps relative on the state (rounding of y itself), and
+      * ~10*eps * h * max|k| (rounding of the stage combination — the error
+        estimate is a cancelling sum of O(h*k) terms).
+
+    The effective tolerance is then "rtol or the best this dtype can
+    certify, whichever is looser" — which is also the true accuracy of the
+    f32 reference (torchdiffeq burns the extra steps without gaining
+    accuracy). In f64 the floor is ~2e-15 and inert.
+    """
+    floor = 10.0 * jnp.finfo(y0.dtype).eps
+    scale = atol + (rtol + floor) * jnp.maximum(jnp.abs(y0), jnp.abs(y1)) + floor * h * k_mag
     return _rms_norm(err / scale)
 
 
@@ -180,7 +198,8 @@ def odeint_dopri5(
         # (discretize-then-optimize): gradients flow through the accepted
         # stage evaluations, never through step selection. stop_gradient also
         # kills the 0*inf -> NaN cotangents of `norm ** -0.2` at norm == 0.
-        norm = jax.lax.stop_gradient(_error_norm(err, y, y1, rtol, atol))
+        k_mag = jnp.maximum(jnp.abs(k[0]), jnp.abs(k[6]))
+        norm = jax.lax.stop_gradient(_error_norm(err, y, y1, rtol, atol, h_eff, k_mag))
         accept = (norm <= 1.0) & jnp.isfinite(norm)
         t_new = jnp.where(last_step, t_final, t + h_eff)
 
