@@ -41,7 +41,7 @@ def build_sim_model(
     ode_method: str = "dopri5",
     ablate: bool = False,
     mc_size: int = 100,
-    max_steps: int = 512,
+    max_steps: int | None = None,
     rtol: float = 1e-7,
     atol: float = 1e-8,
     flow: bool = False,
@@ -62,6 +62,11 @@ def build_sim_model(
     normalize = not neural
     prior = None if neural else "exponential"
     roche = not neural
+    if max_steps is None:
+        # Roche fields reject heavily at the 50 per-patient dose kinks under
+        # lockstep control (~280 accepted + rejections); the smooth neural
+        # field needs ~25 steps.
+        max_steps = 1024 if roche else 512
 
     hidden = int(obs * 2.0)  # encoder_latent_ratio=2.0 (sim_config.py:42)
     if flow:
