@@ -129,7 +129,17 @@ class Model(tnn.Module):
         traj = dopri5_torch(self.field, z, ts)
         x_hat = self.head(traj)
         lik = ((x - x_hat) ** 2 * mask).sum() / x.shape[1]
-        kld = torch.mean(-0.5 * torch.sum(1 + lv - mu**2 - lv.exp(), dim=1))
+        # Monte-Carlo KL against the Exponential(100) prior, 100 samples in a
+        # Python loop — the reference's hybrid KL path (model.py:1198-1214).
+        eps = torch.finfo(DTYPE).eps
+        mc = []
+        for _ in range(100):
+            zk = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            zk = torch.where(zk <= 0, torch.full_like(zk, eps), zk)
+            log_q = torch.distributions.Normal(mu, torch.exp(0.5 * lv)).log_prob(zk).sum(-1)
+            log_p = (torch.log(torch.tensor(100.0)) - 100.0 * zk).sum(-1)
+            mc.append(log_q - log_p)
+        kld = torch.stack(mc, -1).mean()
         return lik + kld
 
 

@@ -93,6 +93,11 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
     """(B, D) initial latents + (T, B, A) actions -> (x_hat, h)."""
     ctx = doses_from_actions(actions, spec.step_size)
     field = roche_field if spec.roche else neural_field
+    # Measured: barrier-clipping at the dose grid costs MORE steps here
+    # (280 -> 465) — the controller absorbs the depot jumps cheaply and
+    # barriers fragment its natural large steps. Left off; the solver
+    # supports `barriers` for genuinely stiff forcing schedules.
+    barriers = None
     h = odeint(
         field,
         init,
@@ -104,6 +109,7 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
         step_size=spec.ode_step_size,
         n_substeps=spec.n_substeps,
         max_steps=spec.max_steps,
+        barriers=barriers,
     )
     x_hat = nn.linear_apply(params["output"], h)
     return x_hat, h

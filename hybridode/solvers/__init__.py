@@ -32,6 +32,7 @@ def odeint(
     step_size: float | None = None,
     n_substeps: int | None = None,
     max_steps: int = 256,
+    barriers=None,
 ):
     """Solve dy/dt = field(t, y, args); return y evaluated at `ts`.
 
@@ -39,7 +40,8 @@ def odeint(
     and the whole batch integrates in lockstep (reference semantics).
     """
     if method in ADAPTIVE_METHODS:
-        ys, _ = odeint_dopri5(field, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps)
+        ys, _ = odeint_dopri5(field, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps,
+                              barriers=barriers)
         return ys
     if method in FIXED_METHODS:
         return odeint_fixed(field, y0, ts, args, method=method, step_size=step_size, n_substeps=n_substeps)

@@ -39,6 +39,7 @@ _SAFETY = 0.9
 _MIN_FACTOR = 0.2
 _MAX_FACTOR = 10.0
 _ERROR_EXPONENT = -1.0 / 5.0
+_CHUNK_SIZE = 64  # trial steps per early-exit chunk
 
 
 class Dopri5Stats(NamedTuple):
@@ -169,6 +170,7 @@ def odeint_dopri5(
     atol: float = 1e-8,
     max_steps: int = 256,
     checkpoint_steps: bool = True,
+    barriers: jnp.ndarray | None = None,
 ):
     """Integrate `dy/dt = field(t, y, args)` and return y at each `ts`.
 
@@ -176,6 +178,13 @@ def odeint_dopri5(
     `ys[0] == y0`. Grid points never reached within `max_steps` are NaN,
     letting callers implement the reference's solver-failure semantics
     (training_utils.py:43-47) via a finite-loss gate.
+
+    `barriers`: optional sorted times steps may not cross (they may START
+    there). Use when the forcing has jump discontinuities at known times —
+    e.g. the Roche depot dose activates at per-patient integer times
+    (model.py:509-513): a step crossing a dose jump triggers a rejection
+    cascade per patient; clipping at the barriers keeps every step's forcing
+    consistent and the local error O(h^5) again.
     """
     dtype = y0.dtype
     ts = jnp.asarray(ts, dtype)
@@ -188,8 +197,18 @@ def odeint_dopri5(
     out0 = jnp.full((ts.shape[0],) + y0.shape, jnp.nan, dtype)
     out0 = out0.at[0].set(y0)
 
+    if barriers is not None:
+        barriers_arr = jnp.asarray(barriers, dtype)
+
     def step_fn(carry, _):
         t, y, f, h, out, n_acc, finished = carry
+
+        if barriers is not None:
+            # Distance to the next barrier strictly ahead of t (tiny margin
+            # so a step STARTING on a barrier isn't clipped to zero).
+            ahead = barriers_arr > t + 1e-6
+            next_barrier = jnp.min(jnp.where(ahead, barriers_arr, jnp.inf))
+            h = jnp.minimum(h, jnp.maximum(next_barrier - t, 1e-6))
 
         last_step = h >= t_final - t
         h_eff = jnp.where(last_step, t_final - t, h)
@@ -225,14 +244,29 @@ def odeint_dopri5(
 
         return (t, y, f, h, out, n_acc, finished), None
 
-    if checkpoint_steps:
-        step_fn = jax.checkpoint(step_fn)
+    # Chunked early exit: the trial budget is split into chunks of
+    # _CHUNK_SIZE steps; once the integration reports `finished`, remaining
+    # chunks are skipped via lax.cond (still reverse-differentiable — cond
+    # transposes through the taken branch). A generous budget therefore costs
+    # nothing once the solve completes: solves that need ~25 trials pay one
+    # chunk, not max_steps masked iterations.
+    n_chunks = max(1, -(-max_steps // _CHUNK_SIZE))
+
+    def run_chunk(carry):
+        fn = jax.checkpoint(step_fn) if checkpoint_steps else step_fn
+        carry, _ = jax.lax.scan(fn, carry, None, length=_CHUNK_SIZE)
+        return carry
+
+    def chunk_fn(carry, _):
+        finished = carry[-1]
+        carry = jax.lax.cond(finished, lambda c: c, run_chunk, carry)
+        return carry, None
 
     carry0 = (t0, y0, f0, h_init, out0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    (t, y, f, h, out, n_acc, finished), _ = jax.lax.scan(step_fn, carry0, None, length=max_steps)
+    (t, y, f, h, out, n_acc, finished), _ = jax.lax.scan(chunk_fn, carry0, None, length=n_chunks)
 
     stats = Dopri5Stats(
-        n_steps=jnp.asarray(max_steps, jnp.int32),
+        n_steps=jnp.asarray(n_chunks * _CHUNK_SIZE, jnp.int32),
         n_accepted=n_acc,
         success=finished & jnp.all(jnp.isfinite(out)),
     )
