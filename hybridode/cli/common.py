@@ -63,10 +63,11 @@ def build_sim_model(
     prior = None if neural else "exponential"
     roche = not neural
     if max_steps is None:
-        # Roche fields reject heavily at the 50 per-patient dose kinks under
-        # lockstep control (~280 accepted + rejections); the smooth neural
-        # field needs ~25 steps.
-        max_steps = 1024 if roche else 512
+        # Roche fields run per-sample adaptive control (max ~112 steps per
+        # patient + rejections); the smooth neural field needs ~25 lockstep
+        # steps and keeps the generous default budget (early exit makes
+        # unused budget nearly free under lockstep).
+        max_steps = 256 if roche else 512
 
     hidden = int(obs * 2.0)  # encoder_latent_ratio=2.0 (sim_config.py:42)
     if flow:
@@ -85,6 +86,7 @@ def build_sim_model(
         max_steps=max_steps,
         rtol=rtol,
         atol=atol,
+        per_sample_control=roche,
     )
     return VIModel(
         kind="flow" if flow else "sim",

@@ -54,6 +54,13 @@ class SimDecoderSpec(NamedTuple):
     atol: float = 1e-8
     ode_step_size: Optional[float] = None
     max_steps: int = 512
+    # Per-patient adaptive step control (vmapped solver) instead of
+    # torchdiffeq's batch-lockstep controller. Documented deviation: lockstep
+    # couples every patient to the batch-worst step schedule — a numerical
+    # artifact of batched torchdiffeq, not a modeling choice. Per-sample
+    # control is more accurate per patient and ~2-3x cheaper on TPU
+    # (measured: max 112 steps/patient vs 280 lockstep at init).
+    per_sample_control: bool = False
 
     @property
     def model_name(self) -> str:
@@ -93,24 +100,43 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
     """(B, D) initial latents + (T, B, A) actions -> (x_hat, h)."""
     ctx = doses_from_actions(actions, spec.step_size)
     field = roche_field if spec.roche else neural_field
-    # Measured: barrier-clipping at the dose grid costs MORE steps here
-    # (280 -> 465) — the controller absorbs the depot jumps cheaply and
-    # barriers fragment its natural large steps. Left off; the solver
-    # supports `barriers` for genuinely stiff forcing schedules.
-    barriers = None
-    h = odeint(
-        field,
-        init,
-        jnp.asarray(spec.ts),
-        (params["ode"], ctx),
-        method=spec.method,
-        rtol=spec.rtol,
-        atol=spec.atol,
-        step_size=spec.ode_step_size,
-        n_substeps=spec.n_substeps,
-        max_steps=spec.max_steps,
-        barriers=barriers,
-    )
+    ts = jnp.asarray(spec.ts)
+
+    if spec.per_sample_control and spec.method in ("dopri5",):
+        from ..solvers import odeint_dopri5
+
+        CtxType = type(ctx)
+
+        def solve_one(z_i, times_i, amounts_i):
+            ys, _ = odeint_dopri5(
+                field,
+                z_i,
+                ts,
+                (params["ode"], CtxType(times=times_i, amounts=amounts_i)),
+                rtol=spec.rtol,
+                atol=spec.atol,
+                max_steps=spec.max_steps,
+            )
+            return ys  # (T, D)
+
+        h = jax.vmap(solve_one, in_axes=(0, 0, 0), out_axes=1)(init, ctx.times, ctx.amounts)
+    else:
+        # Measured: barrier-clipping at the dose grid costs MORE steps here
+        # (280 -> 465) — the controller absorbs the depot jumps cheaply and
+        # barriers fragment its natural large steps. The solver supports
+        # `barriers` for genuinely stiff forcing schedules.
+        h = odeint(
+            field,
+            init,
+            ts,
+            (params["ode"], ctx),
+            method=spec.method,
+            rtol=spec.rtol,
+            atol=spec.atol,
+            step_size=spec.ode_step_size,
+            n_substeps=spec.n_substeps,
+            max_steps=spec.max_steps,
+        )
     x_hat = nn.linear_apply(params["output"], h)
     return x_hat, h
 
