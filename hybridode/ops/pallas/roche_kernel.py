@@ -33,6 +33,11 @@ D_PAD = 8  # sublane tile for f32
 LANE = 128
 
 
+def _pow(x, p):
+    """|x| ** p via exp/log (Mosaic has no powf); exact 0 at x == 0."""
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-30)))
+
+
 def _field_tile(t, y, times, amounts, p, ml_w, ml_b, ml_dim):
     """dy/dt on a (D_PAD, TB) tile. p is a dict of scalar params."""
     Disease, ImmuneReact, Immunity, Dose2 = y[0], y[1], y[2], y[3]
@@ -43,15 +48,15 @@ def _field_tile(t, y, times, amounts, p, ml_w, ml_b, ml_dim):
 
     d1 = (
         Disease * p["k_disprog"]
-        - Disease * jnp.power(jnp.abs(Immunity), p["HillCure"]) * p["k_discure_immunity"]
+        - Disease * _pow(jnp.abs(Immunity), p["HillCure"]) * p["k_discure_immunity"]
         - Disease * ImmuneReact * p["k_discure_immunereact"]
     )
-    irh = jnp.power(jnp.abs(ImmuneReact), p["HillPatho"])
+    irh = _pow(jnp.abs(ImmuneReact), p["HillPatho"])
     d2 = (
         Disease * p["k_immune_disease"]
         - ImmuneReact * p["k_immune_off"]
         + Disease * ImmuneReact * p["k_immune_feedback"]
-        + (irh * p["emax_patho"]) / (jnp.power(jnp.abs(p["ec50_patho"]), p["HillPatho"]) + irh)
+        + (irh * p["emax_patho"]) / (_pow(jnp.abs(p["ec50_patho"]), p["HillPatho"]) + irh)
         - Dose2 * ImmuneReact * p["k_dexa"]
     )
     d3 = ImmuneReact * p["k_immunity"]
