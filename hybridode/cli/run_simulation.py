@@ -33,6 +33,7 @@ def run(
     encoder_output_dim=None,
     ablate: bool = False,
     arg_itr: int | None = None,
+    val_criterion: str = "forecast",
 ):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
@@ -79,6 +80,8 @@ def run(
             best_on_disk=best_on_disk,
             early_stop=optim_config.early_stop,
             shuffle=optim_config.shuffle,
+            val_criterion=val_criterion,
+            val_t0=eval_config.t0,
         )
 
     if eval_only:
@@ -110,6 +113,9 @@ def build_parser():
     parser.add_argument("--encoder_output_dim", default=None, type=int)
     parser.add_argument("--data_path", default="data/datafile_dose_exp.pkl", type=str)
     parser.add_argument("--ablate", default=False, type=bool)
+    # "forecast" selects checkpoints on the t0-forecast error (the test
+    # figure of merit); "elbo" is the reference's full-sequence val loss.
+    parser.add_argument("--val_criterion", choices=["forecast", "elbo"], default="forecast", type=str)
     return parser
 
 
@@ -132,6 +138,7 @@ def main(argv=None):
         encoder_output_dim=args.encoder_output_dim,
         ablate=args.ablate,
         arg_itr=args.arg_itr,
+        val_criterion=args.val_criterion,
     )
 
 

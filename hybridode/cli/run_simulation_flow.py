@@ -46,6 +46,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
             test_freq=optim_config.test_freq, key=k_train, path=path,
             best_on_disk=best_on_disk, early_stop=optim_config.early_stop,
             shuffle=optim_config.shuffle,
+            val_criterion="forecast", val_t0=eval_config.t0,
         )
 
     if eval_only:

@@ -55,6 +55,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, res_path, optim_c
             batch_size=batch_size, lr=optim_config.lr, test_freq=optim_config.test_freq,
             key=k_train, path=res_path, best_on_disk=best_on_disk,
             early_stop=optim_config.early_stop, shuffle=optim_config.shuffle, train_fold="val",
+            val_criterion="forecast", val_t0=eval_config.t0,
         )
     print("Ensemble weights learned.")
 

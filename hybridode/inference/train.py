@@ -62,7 +62,8 @@ def make_train_step(model: VIModel, optimizer) -> Callable:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_step_and_eval(model: VIModel, lr: float, train_expert: bool, labels_key):
+def _cached_step_and_eval(model: VIModel, lr: float, train_expert: bool, labels_key,
+                          val_criterion: str = "elbo", val_t0: int = 5):
     """One jitted (step, eval_loss) pair per (model, lr, freeze-labels): the
     reference's restart loop re-enters the training loop n_restart times
     (run_simulation.py:95) — without this cache each restart would re-trace
@@ -70,7 +71,15 @@ def _cached_step_and_eval(model: VIModel, lr: float, train_expert: bool, labels_
     labels = labels_key.tree
     optimizer = optax.multi_transform({"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels)
     step = make_train_step(model, optimizer)
-    eval_loss = make_eval_loss(model)
+    if val_criterion == "forecast":
+        from .elbo import forecast_loss
+
+        @jax.jit
+        def eval_loss(params, batch, key):
+            return forecast_loss(params, model, batch, val_t0)
+
+    else:
+        eval_loss = make_eval_loss(model)
     return optimizer, step, eval_loss
 
 
@@ -115,6 +124,8 @@ def variational_training_loop(
     verbose: bool = True,
     curve_path: str | None = None,
     events_path: str | None = None,
+    val_criterion: str = "elbo",
+    val_t0: int = 5,
 ):
     """Mirror of reference training_utils.variational_training_loop.
 
@@ -123,7 +134,7 @@ def variational_training_loop(
     best; reloads the best checkpoint before returning.
     """
     labels = _HashableTree(param_labels(params, train_expert))
-    optimizer, step, eval_loss = _cached_step_and_eval(model, lr, train_expert, labels)
+    optimizer, step, eval_loss = _cached_step_and_eval(model, lr, train_expert, labels, val_criterion, val_t0)
     opt_state = optimizer.init(params)
 
     best_loss = 1e9
