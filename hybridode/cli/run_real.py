@@ -65,6 +65,7 @@ def run(
     val_size=100,
     test_size=1000,
     standin_kwargs=None,
+    model_dir="model/",
 ):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
@@ -83,7 +84,7 @@ def run(
         ode_method=ode_method, ode_step_div=ode_step_div, t0=t0, weight=weight,
     )
 
-    path = "model/" if train_sample_size is None else "model/" + str(train_sample_size)
+    path = model_dir if train_sample_size is None else model_dir + str(train_sample_size)
 
     key, k_init, k_train = jax.random.split(key, 3)
     params = init_vi(k_init, model)

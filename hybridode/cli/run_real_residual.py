@@ -26,7 +26,7 @@ MULTIPLIER = 0.1  # run_real_residual.py:100
 
 def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=1500, ode_step_div=1,
         encoder_output_dim=20, encoder_latent_ratio=1.2, init_path="model/",
-        data_path="data/", standin=False):
+        data_path="data/", standin=False, model_dir="model/"):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
 
@@ -55,7 +55,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=15
     dg.data_val = dg.data_train
     dg.val_size = dg.train_size
 
-    path = "model/" if train_sample_size is None else "model/" + str(train_sample_size)
+    path = model_dir if train_sample_size is None else model_dir + str(train_sample_size)
 
     key, k_init, k_train = jax.random.split(key, 3)
     model_ml = common.build_real_model(

@@ -114,6 +114,7 @@ class TestRunReal:
             seed=1, train_sample_size=None, method="gruode", niters=2, eval_only=False,
             data_path=data_path, standin=True, batch_size=16, val_size=16, test_size=32,
             standin_kwargs=dict(n_sample=96, t_max=40, obs_dim=6, static_dim=3),
+            model_dir=str(tmp_path / "m") + "/",
         )
 
     def test_real_ode_pipeline(self, tmp_path):
@@ -124,4 +125,5 @@ class TestRunReal:
             seed=1, train_sample_size=None, method="hybrid", niters=2, eval_only=False,
             data_path=data_path, standin=True, batch_size=16, val_size=16, test_size=32,
             standin_kwargs=dict(n_sample=96, t_max=40, obs_dim=6, static_dim=3),
+            model_dir=str(tmp_path / "m") + "/",
         )
