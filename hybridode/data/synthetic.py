@@ -208,6 +208,11 @@ class SyntheticCohort:
 
     def set_train_size(self, n_sample: int):
         train_sample_size = n_sample - self.val_size - self.test_size
+        if train_sample_size <= 0:
+            raise ValueError(
+                f"sample={n_sample} leaves no training data "
+                f"(val={self.val_size} + test={self.test_size})"
+            )
         self.train_size = train_sample_size
         self.n_sample = n_sample
         self.data_train = {k: v[:, :train_sample_size] for k, v in self.data_train.items()}
