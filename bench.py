@@ -3,17 +3,22 @@
 Protocol mirrors the reference's training regime (run_simulation.py with
 --data_config dim8: batch 50, dopri5 rtol=1e-7/atol=1e-8, backprop through
 the solver): one epoch = 20 jitted train steps of batch 50 (= one pass over
-1000 training samples). Prints ONE JSON line.
+1000 training samples). Prints ONE JSON line with the epoch wall-clock plus
+the solver steps/sec (accepted DOPRI5 steps across the batch — the
+BASELINE.json metric pair).
 
 vs_baseline: speedup over the torch-CPU reference-equivalent epoch measured
 by bench_baseline_torch.py on this machine (stored in BASELINE_TORCH.json).
 If no stored baseline exists, vs_baseline is 0.0.
+
+Set BENCH_TRACE_DIR to also capture a jax.profiler device trace of one epoch.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -32,6 +37,8 @@ def main():
     from hybridode.config import RocheConfig, dim8_config
     from hybridode.data.synthetic import SyntheticCohort
     from hybridode.inference import init_vi, make_optimizer, make_train_step
+    from hybridode.solvers import odeint_dopri5
+    from hybridode.utils import PhaseTimer, trace_to
 
     # dim-8 cohort, 1000 usable samples (generate_data_dim8.py regime).
     dg = SyntheticCohort(
@@ -52,23 +59,73 @@ def main():
     steps_per_epoch = 20
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(1)
+    timer = PhaseTimer()
 
     def one_epoch(params, opt_state, key):
         for _ in range(steps_per_epoch):
-            batch = dg.get_mini_batch("train", batch_size, rng)
+            with timer.phase("data"):
+                batch = dg.get_mini_batch("train", batch_size, rng)
             key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, batch, k)
-        jax.block_until_ready(loss)
+            with timer.phase("step"):
+                params, opt_state, loss = step(params, opt_state, batch, k)
+        with timer.phase("sync"):
+            jax.block_until_ready(loss)
         return params, opt_state, key, float(loss)
 
     # Warmup (compile) + 1 epoch to stabilize.
     params, opt_state, key, _ = one_epoch(params, opt_state, key)
+    timer = PhaseTimer()  # drop compile time from the report
 
     n_epochs = 3
     t0 = time.time()
     for _ in range(n_epochs):
         params, opt_state, key, loss = one_epoch(params, opt_state, key)
     epoch_seconds = (time.time() - t0) / n_epochs
+
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with trace_to(trace_dir):
+            params, opt_state, key, _ = one_epoch(params, opt_state, key)
+
+    # Solver utilization: accepted/trial DOPRI5 steps for one training batch
+    # under the decoder's own settings (per-sample adaptive control).
+    spec = model.decoder_spec
+    ts = jnp.asarray(spec.ts)
+    probe_batch = dg.get_mini_batch("train", batch_size, np.random.RandomState(1))
+
+    @jax.jit
+    def probe(params, batch, key):
+        from hybridode.fields import doses_from_actions, roche_field
+        from hybridode.inference.elbo import encode
+        from hybridode.models import priors
+
+        mu, log_var = encode(params, model, batch["measurements"], batch["actions"], batch["masks"])
+        z = priors.gaussian_reparameterize(key, mu, log_var)
+        ctx = doses_from_actions(batch["actions"], spec.step_size)
+        CtxType = type(ctx)
+
+        def solve_one(z_i, times_i, amounts_i):
+            _, stats = odeint_dopri5(
+                roche_field, z_i, ts,
+                (params["decoder"]["ode"], CtxType(times=times_i, amounts=amounts_i)),
+                rtol=spec.rtol, atol=spec.atol, max_steps=spec.max_steps,
+            )
+            return stats.n_steps, stats.n_accepted
+
+        n_steps, n_acc = jax.vmap(solve_one)(z, ctx.times, ctx.amounts)
+        return jnp.sum(n_steps), jnp.sum(n_acc)
+
+    n_trial, n_accepted = (int(x) for x in probe(params, probe_batch, jax.random.PRNGKey(7)))
+    # Accepted solver steps per wall-clock second across one epoch's forward
+    # solves (each train step advances `batch_size` per-sample integrations).
+    solver_steps_per_sec = n_accepted * steps_per_epoch / epoch_seconds
+
+    print(timer.report(), file=sys.stderr)
+    print(
+        f"solver: {n_accepted} accepted / {n_trial} trial steps per batch-{batch_size} solve "
+        f"({n_accepted / max(n_trial, 1):.2%} accept rate)",
+        file=sys.stderr,
+    )
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_TORCH.json")
     vs_baseline = 0.0
@@ -82,6 +139,9 @@ def main():
         "value": round(epoch_seconds, 4),
         "unit": "s/epoch (20x batch-50 dopri5 train steps)",
         "vs_baseline": round(vs_baseline, 2),
+        "solver_steps_per_sec": round(solver_steps_per_sec, 1),
+        "solver_accepted_steps_per_batch": n_accepted,
+        "solver_trial_steps_per_batch": n_trial,
     }))
 
 

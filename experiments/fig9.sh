@@ -17,11 +17,14 @@ for DIM in 10 15; do
   tail -n 4 "$LOG" >> "$OUT"
 done
 
-# Training curves (iter, val, train) for Fig9's right panel:
+# Training curves (iter, val, train) for Fig9's right panel — written by the
+# training loop's CSV curve logger (reference results/exp_lhm.csv format):
 python -m hybridode.cli.run_simulation --method=hybrid --sample=800 --path=model/curve_ \
   --restart=1 --arg_itr=400 --data_path=$DATA \
-  | grep '^Iter' | awk '{gsub(/[^0-9.]/,"",$2); print $2","$6","$10}' > results/exp_lhm.csv || true
+  --curve_path=results/exp_lhm.csv --events_path=results/exp_lhm_events.jsonl \
+  > results/run_hybrid_curve.txt
 python -m hybridode.cli.run_simulation_flow --sample=800 --path=model/curvef_ \
   --restart=1 --arg_itr=200 --data_path=$DATA \
-  | grep '^Iter' | awk '{gsub(/[^0-9.]/,"",$2); print $2","$6","$10}' > results/exp_flow.csv || true
+  --curve_path=results/exp_flow.csv --events_path=results/exp_flow_events.jsonl \
+  > results/run_flow_curve.txt
 echo "wrote $OUT"

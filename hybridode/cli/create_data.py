@@ -29,19 +29,19 @@ def main(argv=None):
     if which in ("all", "train"):
         make_train_cohort(seed=args.seed).save(out("datafile_dose_exp.pkl"))
         print("wrote", out("datafile_dose_exp.pkl"))
-    if which in ("all", "test", "noise0.4", "noise0.8"):
-        test = make_test_cohort(seed=args.seed)
-        if which in ("all", "test"):
-            test.save(out("datafile_dose_exp_test.pkl"))
-            print("wrote", out("datafile_dose_exp_test.pkl"))
-        for lvl in (0.4, 0.8):
-            if which in ("all", f"noise{lvl}"):
-                noisy = SyntheticCohort.load(out("datafile_dose_exp_test.pkl")) if which != "all" else test
-                # re-load for "all" too, to avoid double-noising the shared object
-                noisy = SyntheticCohort.load(out("datafile_dose_exp_test.pkl"))
-                add_noise(noisy, lvl, seed=args.seed)
-                noisy.save(out(f"datafile_dose_noise_{lvl}.pkl"))
-                print("wrote", out(f"datafile_dose_noise_{lvl}.pkl"))
+    if which in ("all", "test"):
+        make_test_cohort(seed=args.seed).save(out("datafile_dose_exp_test.pkl"))
+        print("wrote", out("datafile_dose_exp_test.pkl"))
+    for lvl in (0.4, 0.8):
+        if which in ("all", f"noise{lvl}"):
+            # Noise variants load the test pickle fresh each time (reference
+            # generate_data_noise.py:14-23) so noise never compounds.
+            if not os.path.exists(out("datafile_dose_exp_test.pkl")):
+                make_test_cohort(seed=args.seed).save(out("datafile_dose_exp_test.pkl"))
+            noisy = SyntheticCohort.load(out("datafile_dose_exp_test.pkl"))
+            add_noise(noisy, lvl, seed=args.seed)
+            noisy.save(out(f"datafile_dose_noise_{lvl}.pkl"))
+            print("wrote", out(f"datafile_dose_noise_{lvl}.pkl"))
     if which in ("all", "dim8"):
         make_dim_cohort(8, seed=args.seed).save(out("datafile_dim8.pkl"))
         print("wrote", out("datafile_dim8.pkl"))

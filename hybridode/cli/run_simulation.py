@@ -34,6 +34,8 @@ def run(
     ablate: bool = False,
     arg_itr: int | None = None,
     val_criterion: str = "forecast",
+    curve_path: str | None = None,
+    events_path: str | None = None,
 ):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
@@ -82,6 +84,10 @@ def run(
             shuffle=optim_config.shuffle,
             val_criterion=val_criterion,
             val_t0=eval_config.t0,
+            # Curve/event logs capture the LAST restart's trajectory (the
+            # reference's exp_lhm.csv is a restart=1 run, Fig9.ipynb).
+            curve_path=curve_path,
+            events_path=events_path,
         )
 
     if eval_only:
@@ -116,6 +122,11 @@ def build_parser():
     # "forecast" selects checkpoints on the t0-forecast error (the test
     # figure of merit); "elbo" is the reference's full-sequence val loss.
     parser.add_argument("--val_criterion", choices=["forecast", "elbo"], default="forecast", type=str)
+    # Structured observability (replaces stdout scraping for Fig9 curves):
+    parser.add_argument("--curve_path", default=None, type=str,
+                        help="write iter,val_loss,train_loss CSV (exp_lhm.csv format)")
+    parser.add_argument("--events_path", default=None, type=str,
+                        help="append JSONL training events")
     return parser
 
 
@@ -139,6 +150,8 @@ def main(argv=None):
         ablate=args.ablate,
         arg_itr=args.arg_itr,
         val_criterion=args.val_criterion,
+        curve_path=args.curve_path,
+        events_path=args.events_path,
     )
 
 

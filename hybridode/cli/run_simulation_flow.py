@@ -18,7 +18,7 @@ from . import common
 
 
 def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eval_config,
-        num_flows=4, mc_size=50, arg_itr=None):
+        num_flows=4, mc_size=50, arg_itr=None, curve_path=None, events_path=None):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
 
@@ -47,6 +47,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
             best_on_disk=best_on_disk, early_stop=optim_config.early_stop,
             shuffle=optim_config.shuffle,
             val_criterion="forecast", val_t0=eval_config.t0,
+            curve_path=curve_path, events_path=events_path,
         )
 
     if eval_only:
@@ -75,12 +76,17 @@ def main(argv=None):
     parser.add_argument("--data_path", default="data/datafile_dose_exp.pkl", type=str)
     parser.add_argument("--num_flows", default=4, type=int)
     parser.add_argument("--mc_size", default=50, type=int)
+    parser.add_argument("--curve_path", default=None, type=str,
+                        help="write iter,val_loss,train_loss CSV (exp_flow.csv format)")
+    parser.add_argument("--events_path", default=None, type=str,
+                        help="append JSONL training events")
     args = parser.parse_args(argv)
 
     data_config = common.resolve_data_config(args.data_config, args.sample)
     optim_config = OptimConfig(shuffle=False, n_restart=args.restart, batch_size=args.batch_size, lr=args.lr)
     run(args.seed, args.eval == "y", args.data_path, args.sample, data_config, args.path,
-        optim_config, EvalConfig(t0=args.t0), args.num_flows, args.mc_size, args.arg_itr)
+        optim_config, EvalConfig(t0=args.t0), args.num_flows, args.mc_size, args.arg_itr,
+        curve_path=args.curve_path, events_path=args.events_path)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,15 @@ def _point_z0(model: VIModel, encoder_out, key):
     return encoder_out[0]
 
 
+def _masked_mean_sq_err(x, x_hat, mask, axes):
+    """Per-patient masked mean squared error; patients with no observed
+    entries are flagged NaN EXPLICITLY (the aggregators filter/nanmean them
+    out) rather than via a silent 0/0."""
+    denom = jnp.sum(mask, axis=axes)
+    num = jnp.sum((x - x_hat) ** 2 * mask, axis=axes)
+    return jnp.where(denom > 0, num / jnp.maximum(denom, 1.0), jnp.nan)
+
+
 def _chunk_forward(params, model: VIModel, batch, t0: int, mc_itr: int, key):
     """Encode on [0, t0), decode the full horizon, plus mc_itr posterior
     decodes — all inside one jitted program."""
@@ -105,7 +114,7 @@ def _eval_chunk(params, model: VIModel, batch, t0: int, mc_itr: int, expert_dim:
 
     # per-sample squared errors (training_utils.py:128-139)
     err_z0 = jnp.sum((z0[:, :expert_dim] - z0_hat[:, :expert_dim]) ** 2, axis=1)  # (B,)
-    err_x = jnp.sum((x_test - x_hat) ** 2 * mask_test, axis=(0, 2)) / jnp.sum(mask_test, axis=(0, 2))  # (B,)
+    err_x = _masked_mean_sq_err(x_test, x_hat, mask_test, axes=(0, 2))  # (B,)
 
     # CRPS over posterior samples (training_utils.py:141-177), vectorized.
     z_samples = jnp.moveaxis(z_mc[:, :, :expert_dim], 0, -1)  # (B, D_e, MC)
@@ -167,7 +176,7 @@ def _horizon_chunk(params, model: VIModel, batch, t0: int, mc_itr: int, key):
     x_hat = x_hat[t0:]
     x_test = batch["measurements"][t0:]
     mask_test = batch["masks"][t0:]
-    err_x = jnp.sum((x_test - x_hat) ** 2 * mask_test, axis=2) / jnp.sum(mask_test, axis=2)  # (T', B)
+    err_x = _masked_mean_sq_err(x_test, x_hat, mask_test, axes=(2,))  # (T', B)
     x_samples = jnp.moveaxis(x_mc[:, t0:], 0, -1)
     crps_x = jnp.mean(crps_ensemble(x_test, x_samples), axis=2)  # (T', B)
     return err_x, crps_x
@@ -215,12 +224,12 @@ def _ensemble_chunk(params_e, model_e: VIModel, params_m, model_m: VIModel, batc
     x_samples = jnp.moveaxis(x_mc[:, t0:], 0, -1)
 
     if horizon:
-        err_x = jnp.sum((x_test - x_hat) ** 2 * mask_test, axis=2) / jnp.sum(mask_test, axis=2)
+        err_x = _masked_mean_sq_err(x_test, x_hat, mask_test, axes=(2,))
         crps_x = jnp.mean(crps_ensemble(x_test, x_samples), axis=2)
         return err_x, crps_x
 
     err_z0 = jnp.sum((z0[:, :expert_dim] - z0_e[:, :expert_dim]) ** 2, axis=1)
-    err_x = jnp.sum((x_test - x_hat) ** 2 * mask_test, axis=(0, 2)) / jnp.sum(mask_test, axis=(0, 2))
+    err_x = _masked_mean_sq_err(x_test, x_hat, mask_test, axes=(0, 2))
     z_samples = jnp.moveaxis(zmc_e[:, :, :expert_dim], 0, -1)
     crps_z0 = jnp.mean(crps_ensemble(z0[:, :expert_dim], z_samples), axis=1)
     crps_x = jnp.mean(crps_ensemble(x_test, x_samples), axis=(0, 2))
@@ -248,6 +257,7 @@ def evaluate_ensemble(params_e, model_e, params_m, model_m, data_generator, batc
     rmse_z0 = float(np.sqrt(np.mean(err_z0)))
     rmse_z0_sd = bootstrap_rmse(err_z0)
     cprs_z0 = float(np.mean(crps_z0))
+    err_x = err_x[~np.isnan(err_x)]  # drop fully-masked patients (see _masked_mean_sq_err)
     rmse_x = float(np.sqrt(np.mean(err_x)))
     rmse_x_sd = bootstrap_rmse(err_x)
     cprs_x = float(np.mean(crps_x))

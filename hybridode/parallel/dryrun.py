@@ -1,0 +1,125 @@
+"""Self-contained multi-chip DP dryrun on a forced-CPU virtual mesh.
+
+Run as ``python -m hybridode.parallel.dryrun N`` — forces the CPU platform
+with N virtual devices BEFORE any JAX backend initialization (the sandbox's
+sitecustomize registers the axon TPU plugin in every process and presets
+JAX_PLATFORMS; ``jax.config.update`` after import wins, exactly as
+``tests/conftest.py`` proves). ``__graft_entry__.dryrun_multichip`` invokes
+this in a clean subprocess so the driver's dryrun never touches libtpu.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _force_cpu(n_devices: int) -> None:
+    """Force the CPU platform with n virtual devices. Call before first JAX use."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
+        os.environ["XLA_FLAGS"] = flags
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    jax.config.update("jax_enable_x64", False)
+    # Single-core sandbox: persistent cache amortizes the solver-scan compiles.
+    cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def flagship(max_steps: int = 256, rtol: float = 1e-7, atol: float = 1e-8, mc_size: int = 8):
+    """Flagship model: hybrid LHM (expert PK/PD + neural remainder), dim-8."""
+    import jax
+
+    from hybridode.cli.common import build_sim_model
+    from hybridode.config import dim8_config
+    from hybridode.inference import init_vi
+
+    model = build_sim_model("hybrid", dim8_config, elbo=True, max_steps=max_steps,
+                            mc_size=mc_size, rtol=rtol, atol=atol)
+    params = init_vi(jax.random.PRNGKey(0), model)
+    return model, params
+
+
+def fake_batch(model, B: int, T: int = 15, key=None):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1) if key is None else key
+    obs = model.decoder_spec.obs_dim
+    latent = model.decoder_spec.latent_dim
+    k1, k2 = jax.random.split(key)
+    actions = jnp.zeros((T, B, 1)).at[3, :, 0].set(1.5)
+    return {
+        "measurements": jax.random.normal(k1, (T, B, obs)),
+        "actions": actions,
+        "masks": (jax.random.uniform(k2, (T, B, obs)) > 0.5).astype(jnp.float32),
+        "latents": jnp.abs(jax.random.normal(k1, (T, B, latent))) * 0.01,
+    }
+
+
+def run(n_devices: int) -> float:
+    """One full DP training step over an n-device mesh on tiny shapes.
+
+    Batch axis sharded over the "data" mesh axis; params/opt-state
+    replicated; gradients pmean'd inside shard_map (the workload's one
+    meaningful collective — see SURVEY.md §2 parallelism statement).
+    Assumes the platform/devices are already configured by the caller.
+    """
+    import jax
+    import numpy as np
+
+    from hybridode.inference import make_optimizer
+    from hybridode.parallel import make_dp_train_step, make_mesh, replicate, shard_batch
+
+    # Loose tolerances keep the step budget (and compile time) small while
+    # still finishing the integration, so the finite-loss assert is real.
+    # (max_steps budgets TRIAL steps incl. rejections: ~44 accepts + slack.)
+    model, params = flagship(max_steps=192, rtol=1e-4, atol=1e-6)
+    # Pin the posterior to the physical regime (z0 ~ 0.01, tiny variance):
+    # with random heads the latents land at O(0.1-1), where the expert PK/PD
+    # dynamics blow up over the 14-unit horizon and the loss overflows.
+    enc = params["encoder"]
+    enc["lin"] = {"w": enc["lin"]["w"] * 0.0, "b": enc["lin"]["b"] * 0.0 - 2.3}
+    enc["log_var"] = {"w": enc["log_var"]["w"] * 0.0, "b": enc["log_var"]["b"] * 0.0 - 5.0}
+    mesh = make_mesh(n_devices)
+
+    optimizer = make_optimizer(0.01, params)
+    opt_state = optimizer.init(params)
+
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    # T must match the decoder's output grid (t_max + 1 = 15).
+    batch = shard_batch(fake_batch(model, B=2 * n_devices, T=15), mesh)
+
+    step = make_dp_train_step(model, optimizer, mesh)
+    params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(3))
+    jax.block_until_ready(loss)
+    loss = float(loss)
+    assert np.isfinite(loss), "DP train step produced non-finite loss"
+    return loss
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    n_devices = int(argv[0]) if argv else 8
+    _force_cpu(n_devices)
+
+    import jax
+
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert len(jax.devices()) >= n_devices, (len(jax.devices()), n_devices)
+
+    loss = run(n_devices)
+    print(f"dryrun_multichip({n_devices}): loss={loss:.4f} OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

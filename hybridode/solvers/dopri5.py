@@ -201,7 +201,7 @@ def odeint_dopri5(
         barriers_arr = jnp.asarray(barriers, dtype)
 
     def step_fn(carry, _):
-        t, y, f, h, out, n_acc, finished = carry
+        t, y, f, h, out, n_trial, n_acc, finished = carry
 
         if barriers is not None:
             # Distance to the next barrier strictly ahead of t (tiny margin
@@ -239,10 +239,11 @@ def odeint_dopri5(
         y = jnp.where(take, y1, y)
         f = jnp.where(take, f1, f)
         h = jnp.where(alive, h_next, h)
+        n_trial = n_trial + jnp.where(alive, 1, 0)
         n_acc = n_acc + jnp.where(take, 1, 0)
         finished = finished | (take & last_step)
 
-        return (t, y, f, h, out, n_acc, finished), None
+        return (t, y, f, h, out, n_trial, n_acc, finished), None
 
     # Chunked early exit: the trial budget is split into chunks of
     # _CHUNK_SIZE steps; once the integration reports `finished`, remaining
@@ -262,11 +263,16 @@ def odeint_dopri5(
         carry = jax.lax.cond(finished, lambda c: c, run_chunk, carry)
         return carry, None
 
-    carry0 = (t0, y0, f0, h_init, out0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    (t, y, f, h, out, n_acc, finished), _ = jax.lax.scan(chunk_fn, carry0, None, length=n_chunks)
+    carry0 = (
+        t0, y0, f0, h_init, out0,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    (t, y, f, h, out, n_trial, n_acc, finished), _ = jax.lax.scan(
+        chunk_fn, carry0, None, length=n_chunks
+    )
 
     stats = Dopri5Stats(
-        n_steps=jnp.asarray(n_chunks * _CHUNK_SIZE, jnp.int32),
+        n_steps=n_trial,
         n_accepted=n_acc,
         success=finished & jnp.all(jnp.isfinite(out)),
     )

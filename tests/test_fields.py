@@ -68,6 +68,29 @@ class TestDoseKernels:
         assert float(ctx.times[1, 0]) == 9.0
         assert float(ctx.times[2, 0]) > 1e20  # sentinel
 
+    def test_doses_from_actions_multi_dose(self):
+        # max_doses > 1: earliest nonzero actions become dose times, all
+        # sharing the max-over-time amount (model.py:495-507 semantics).
+        T, B = 15, 2
+        a = np.zeros((T, B, 1), np.float32)
+        a[2, 0, 0] = 0.5
+        a[5, 0, 0] = 1.5  # amount = max over time = 1.5
+        a[7, 1, 0] = 0.4
+        # patient 1: single dose, second slot must carry the sentinel
+        ctx = doses_from_actions(jnp.asarray(a), step_size=1.0, max_doses=2)
+        np.testing.assert_allclose(ctx.amounts, [1.5, 0.4])
+        np.testing.assert_allclose(np.sort(np.asarray(ctx.times[0])), [2.0, 5.0])
+        assert float(ctx.times[1, 0]) == 7.0
+        assert float(ctx.times[1, 1]) > 1e20  # sentinel
+
+        # both doses contribute to the depot after the second dose time
+        kel = 1.0
+        expect0 = 1.5 * (np.exp(kel * (2.0 - 6.0)) + np.exp(kel * (5.0 - 6.0)))
+        expect1 = 0.0  # t < dose time for patient 1
+        np.testing.assert_allclose(
+            exp_decay_dose(6.0, ctx, kel), [expect0, expect1], rtol=1e-5
+        )
+
     def test_exp_decay_dose_values(self):
         ctx = DoseContext(times=jnp.array([[2.0], [1e30]]), amounts=jnp.array([1.5, 2.0]))
         kel = 1.0
