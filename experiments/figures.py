@@ -92,11 +92,48 @@ def fig_noise():
     print("fig_noise done")
 
 
+def _t0_variance_ratios(test_pickle, t0s=(5, 10, 12)):
+    """Per-window variance normalizers, reference Fig6.ipynb cell 2 verbatim:
+    f_{t0} = mean_b [ sum_{t,d} (x - mean)^2 m / sum_{t,d} m ] over x[t0:],
+    with mean = x.sum()/m.sum() (the notebook's own quirk: the numerator sums
+    masked entries too), reported as ratios to the t0=5 value."""
+    from hybridode.data import SyntheticCohort
+
+    dg = SyntheticCohort.load(test_pickle)
+    x_all = np.asarray(dg.measurements)
+    m_all = np.asarray(dg.masks)
+    f = {}
+    for t0 in t0s:
+        x, m = x_all[t0:], m_all[t0:]
+        mean = x.sum() / m.sum()
+        f[t0] = float(np.mean(np.sum((x - mean) ** 2 * m, axis=(0, 2)) / np.sum(m, axis=(0, 2))))
+    return {t0: f[t0] / f[t0s[0]] for t0 in t0s}
+
+
 def fig6():
     path = os.path.join(RESULTS, "results_t0.txt")
     df = parse_blocks(path, ["neural", "expert", "hybrid"], ["10", "12"])
+
+    # Variance-normalized RMSE (reference Fig6.ipynb divides each window's
+    # rmse and its SE by that window's variance ratio vs t0=5).
+    test_pickle = os.path.join(os.path.dirname(RESULTS), "data", "datafile_dose_exp_test.pkl")
+    if os.path.exists(test_pickle):
+        ratios = _t0_variance_ratios(test_pickle)
+        norm = df.group.map(lambda g: ratios[int(g)]).astype(float)
+        is_x = df.metric.isin(["rmse_x", "cprs_x"])
+        df["value_norm"] = np.where(is_x, df.value / norm, df.value)
+        df["sd_norm"] = np.where(is_x, df.sd / norm, df.sd)
+    else:
+        print("fig6: test pickle missing, skipping variance normalization")
+        df["value_norm"] = df.value
+        df["sd_norm"] = df.sd
+
     df.to_csv(os.path.join(RESULTS, "fig6_tidy.csv"), index=False)
     _bar_panel(df, "rmse_x", "Test RMSE vs observation window t0", os.path.join(RESULTS, "fig6_rmse.png"))
+
+    ndf = df.drop(columns=["value", "sd"]).rename(columns={"value_norm": "value", "sd_norm": "sd"})
+    _bar_panel(ndf, "rmse_x", "Variance-normalized test RMSE vs observation window t0",
+               os.path.join(RESULTS, "fig6_rmse_norm.png"))
     print("fig6 done")
 
 

@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# Protocol-matched parity sweep under the REFERENCE's own model-selection
+# rule: --val_criterion=elbo (full-sequence val-ELBO, training_utils.py:56-80),
+# restart=3 (reference CLI default, Fig3.sh passes none), batch_size=10,
+# niters=400, test_freq=10, early_stop=10, eval-only on the dedicated test
+# cohort (reference Fig3.sh:56-67) — across >=3 training seeds.
+#
+# Usage: SEEDS="666 123 42" bash experiments/parity_elbo.sh [fig3|dim]
+set -e
+cd "$(dirname "$0")/.."
+TRAIN=data/datafile_dose_exp.pkl
+TEST=data/datafile_dose_exp_test.pkl
+SEEDS=${SEEDS:-666 123 42}
+WHICH=${1:-fig3}
+mkdir -p results model
+
+if [ "$WHICH" = "fig3" ]; then
+  OUT=results/results_sample_elbo.txt
+  : > "$OUT"
+  for SEED in $SEEDS; do
+    for SAMPLE in 310 400 800; do
+      for METHOD in neural expert hybrid; do
+        P=model/elbo_s${SEED}_${SAMPLE}_
+        LOG=results/elbo_${METHOD}_${SAMPLE}_s${SEED}.txt
+        python -m hybridode.cli.run_simulation --method=$METHOD --sample=$SAMPLE \
+          --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
+          --path=$P --data_path=$TRAIN > "$LOG"
+        ELOG=results/elbo_${METHOD}_${SAMPLE}_s${SEED}_test.txt
+        python -m hybridode.cli.run_simulation --method=$METHOD --sample=$SAMPLE \
+          --seed=$SEED --path=$P --data_path=$TEST --eval=y > "$ELOG"
+        echo "# seed=$SEED sample=$SAMPLE method=$METHOD" >> "$OUT"
+        tail -n 4 "$ELOG" >> "$OUT"
+      done
+    done
+  done
+  echo "wrote $OUT"
+else
+  # dim8/dim12 under the reference run_dim.sh protocol + elbo criterion.
+  OUT=results/results_dim_elbo.txt
+  : > "$OUT"
+  for SEED in $SEEDS; do
+    for DIM in dim8 dim12; do
+      DATA=data/datafile_${DIM}.pkl
+      for METHOD in neural expert; do
+        LOG=results/elbo_${METHOD}_${DIM}_s${SEED}.txt
+        python -m hybridode.cli.run_simulation --method=$METHOD --sample=1200 \
+          --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
+          --path=model/elbo_s${SEED}_${DIM}_ --data_config=$DIM --data_path=$DATA > "$LOG"
+        echo "# seed=$SEED dim=$DIM method=$METHOD" >> "$OUT"
+        tail -n 4 "$LOG" >> "$OUT"
+      done
+      LOG=results/elbo_hybrid_${DIM}_s${SEED}.txt
+      python -m hybridode.cli.run_simulation --method=hybrid --sample=1200 \
+        --batch_size=10 --arg_itr=1000 --restart=1 --seed=$SEED --val_criterion=elbo \
+        --path=model/elbo_s${SEED}_${DIM}_ --data_config=$DIM --data_path=$DATA > "$LOG"
+      echo "# seed=$SEED dim=$DIM method=hybrid" >> "$OUT"
+      tail -n 4 "$LOG" >> "$OUT"
+    done
+  done
+  echo "wrote $OUT"
+fi

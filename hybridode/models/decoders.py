@@ -61,6 +61,15 @@ class SimDecoderSpec(NamedTuple):
     # control is more accurate per patient and ~2-3x cheaper on TPU
     # (measured: max 112 steps/patient vs 280 lockstep at init).
     per_sample_control: bool = False
+    # Custom-VJP backward over ACCEPTED steps only (solvers/adjoint.py):
+    # same discretize-then-optimize gradients, no rejected-trial replay.
+    # Under per-sample vmap the bounded scan's early exit degenerates to
+    # select, so the while_loop forward also stops at the true trial count.
+    use_adjoint: bool = False
+    # Backward record budget (accepted steps kept per trajectory); None ->
+    # max_steps. Observed demand: <=112 accepts/patient on the dose_max=10
+    # cohorts at rtol=1e-7.
+    max_record: Optional[int] = None
 
     @property
     def model_name(self) -> str:
@@ -103,12 +112,14 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
     ts = jnp.asarray(spec.ts)
 
     if spec.per_sample_control and spec.method in ("dopri5",):
-        from ..solvers import odeint_dopri5
+        from ..solvers import odeint_dopri5, odeint_dopri5_adjoint
 
+        solver = odeint_dopri5_adjoint if spec.use_adjoint else odeint_dopri5
+        extra = {"max_record": spec.max_record} if spec.use_adjoint else {}
         CtxType = type(ctx)
 
         def solve_one(z_i, times_i, amounts_i):
-            ys, _ = odeint_dopri5(
+            ys, _ = solver(
                 field,
                 z_i,
                 ts,
@@ -116,6 +127,7 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
                 rtol=spec.rtol,
                 atol=spec.atol,
                 max_steps=spec.max_steps,
+                **extra,
             )
             return ys  # (T, D)
 

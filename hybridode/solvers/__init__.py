@@ -13,6 +13,7 @@ from typing import Any
 
 import jax.numpy as jnp
 
+from .adjoint import odeint_dopri5_adjoint
 from .dopri5 import Dopri5Stats, odeint_dopri5
 from .fixed_step import odeint_fixed
 
@@ -57,6 +58,7 @@ __all__ = [
     "odeint",
     "odeint_with_stats",
     "odeint_dopri5",
+    "odeint_dopri5_adjoint",
     "odeint_fixed",
     "Dopri5Stats",
     "ADAPTIVE_METHODS",

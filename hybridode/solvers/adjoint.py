@@ -1,0 +1,215 @@
+"""Custom-VJP DOPRI5: while_loop forward + reverse scan over ACCEPTED steps.
+
+The bounded-scan integrator in `dopri5.py` differentiates through its whole
+trial-step budget: under per-sample `vmap` the chunked `lax.cond` early exit
+lowers to a select (both branches execute), so forward AND backward always
+pay `max_steps` iterations, rejected trials included, plus per-chunk
+rematerialization. This module implements the same discretize-then-optimize
+gradients (reference semantics: backprop through the solver,
+model.py:9-10 — the adjoint import is commented out there) with:
+
+* forward: non-differentiable `lax.while_loop` that stops at the actual
+  trial count, recording (t, h_eff, t_new, y) per ACCEPTED step into a
+  fixed `max_record` buffer;
+* backward: a `lax.scan` over the recorded steps in reverse; each record
+  re-evaluates its 6 stages once under `jax.vjp` (FSAL stage recomputed —
+  bit-identical to the forward's carried value) and pulls the output
+  cotangents back through the dense-output polynomial and the step map.
+
+Gradients match the bounded-scan integrator to float tolerance (the
+step-size controller is stop_gradient'ed there, so step placement is a
+constant in both). Cost: O(actual trials) forward, O(max_record accepted
+steps) backward — no rejected-step replay, no remat.
+
+Cotangents for `ts` are ZERO by construction (grid times are treated as
+non-differentiable, like torchdiffeq's eval grid).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .dopri5 import (
+    Dopri5Stats,
+    _dense_coeffs,
+    _dense_eval,
+    _dopri5_step,
+    _error_norm,
+    _initial_step,
+    _next_h,
+)
+
+
+def _write_at(buf, idx, val, do):
+    """Masked dynamic write buf[idx] = val if do (vmap-safe: per-lane idx)."""
+    cur = jax.lax.dynamic_index_in_dim(buf, idx, axis=0, keepdims=False)
+    new = jnp.where(do, val, cur)
+    return jax.lax.dynamic_update_index_in_dim(buf, new, idx, axis=0)
+
+
+def _integrate_record(field, y0, ts, args, rtol, atol, max_steps, max_record, barriers):
+    """while_loop integration recording accepted steps. Not differentiable."""
+    dtype = y0.dtype
+    t0 = ts[0]
+    t_final = ts[-1]
+
+    f0 = field(t0, y0, args)
+    h_init = _initial_step(field, t0, y0, f0, rtol, atol, args)
+
+    out0 = jnp.full((ts.shape[0],) + y0.shape, jnp.nan, dtype)
+    out0 = out0.at[0].set(y0)
+
+    rec_t0 = jnp.zeros((max_record,), dtype)
+    rec_h0 = jnp.zeros((max_record,), dtype)
+    rec_tn0 = jnp.zeros((max_record,), dtype)
+    rec_y0 = jnp.zeros((max_record,) + y0.shape, dtype)
+
+    if barriers is not None:
+        barriers_arr = jnp.asarray(barriers, dtype)
+
+    def cond(carry):
+        (t, y, f, h, out, n_trial, n_acc, finished, *_rest) = carry
+        return (~finished) & (n_trial < max_steps)
+
+    def body(carry):
+        t, y, f, h, out, n_trial, n_acc, finished, rec_t, rec_h, rec_tn, rec_y = carry
+
+        if barriers is not None:
+            ahead = barriers_arr > t + 1e-6
+            next_barrier = jnp.min(jnp.where(ahead, barriers_arr, jnp.inf))
+            h = jnp.minimum(h, jnp.maximum(next_barrier - t, 1e-6))
+
+        last_step = h >= t_final - t
+        h_eff = jnp.where(last_step, t_final - t, h)
+        y1, f1, err, k = _dopri5_step(field, t, y, f, h_eff, args)
+        k_mag = jnp.maximum(jnp.abs(k[0]), jnp.abs(k[6]))
+        norm = _error_norm(err, y, y1, rtol, atol, h_eff, k_mag)
+        accept = (norm <= 1.0) & jnp.isfinite(norm)
+        t_new = jnp.where(last_step, t_final, t + h_eff)
+
+        coeffs = _dense_coeffs(y, y1, h_eff, k)
+        theta = jnp.clip((ts - t) / jnp.maximum(h_eff, 1e-30), 0.0, 1.0)
+        dense = _dense_eval(coeffs, theta)
+        fill = (ts > t) & (ts <= t_new)
+        do_fill = (fill & accept & ~finished).reshape((-1,) + (1,) * y.ndim)
+        out = jnp.where(do_fill, dense, out)
+
+        h_next = _next_h(h_eff, norm, accept)
+        alive = ~finished
+        take = accept & alive
+        record = take & (n_acc < max_record)
+
+        rec_t = _write_at(rec_t, n_acc, t, record)
+        rec_h = _write_at(rec_h, n_acc, h_eff, record)
+        rec_tn = _write_at(rec_tn, n_acc, t_new, record)
+        rec_y = _write_at(rec_y, n_acc, y, record)
+
+        t = jnp.where(take, t_new, t)
+        y = jnp.where(take, y1, y)
+        f = jnp.where(take, f1, f)
+        h = jnp.where(alive, h_next, h)
+        n_trial = n_trial + jnp.where(alive, 1, 0)
+        n_acc = n_acc + jnp.where(record, 1, 0)
+        finished = finished | (take & last_step)
+
+        return (t, y, f, h, out, n_trial, n_acc, finished, rec_t, rec_h, rec_tn, rec_y)
+
+    carry0 = (
+        t0, y0, f0, h_init, out0,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        rec_t0, rec_h0, rec_tn0, rec_y0,
+    )
+    (t, y, f, h, out, n_trial, n_acc, finished, rec_t, rec_h, rec_tn, rec_y) = (
+        jax.lax.while_loop(cond, body, carry0)
+    )
+
+    stats = Dopri5Stats(
+        n_steps=n_trial,
+        n_accepted=n_acc,
+        success=finished & jnp.all(jnp.isfinite(out)),
+    )
+    return out, stats, (rec_t, rec_h, rec_tn, rec_y, n_acc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8))
+def _odeint_adjoint(field, y0, ts, args, rtol, atol, max_steps, max_record, barriers):
+    out, stats, _ = _integrate_record(field, y0, ts, args, rtol, atol, max_steps, max_record, barriers)
+    return out, stats
+
+
+def _fwd(field, y0, ts, args, rtol, atol, max_steps, max_record, barriers):
+    out, stats, recs = _integrate_record(field, y0, ts, args, rtol, atol, max_steps, max_record, barriers)
+    return (out, stats), (y0, ts, args, recs)
+
+
+def _bwd(field, rtol, atol, max_steps, max_record, barriers, res, cts):
+    y0, ts, args, (rec_t, rec_h, rec_tn, rec_y, n_acc) = res
+    out_bar, _stats_bar = cts  # stats are integer/bool: no cotangent
+
+    def step_vjp(carry, rec):
+        y_bar, args_bar = carry
+        t_i, h_i, tn_i, y_i, valid = rec
+
+        def fwd_one(y, a):
+            f0 = field(t_i, y, a)
+            y1, _f1, _err, k = _dopri5_step(field, t_i, y, f0, h_i, a)
+            coeffs = _dense_coeffs(y, y1, h_i, k)
+            theta = jnp.clip((ts - t_i) / jnp.maximum(h_i, 1e-30), 0.0, 1.0)
+            dense = _dense_eval(coeffs, theta)
+            return y1, dense
+
+        _outs, vjp_fn = jax.vjp(fwd_one, y_i, args)
+        fill = ((ts > t_i) & (ts <= tn_i)).reshape((-1,) + (1,) * y_i.ndim)
+        dense_ct = jnp.where(fill, out_bar, 0.0)
+        y_bar_prev, args_inc = vjp_fn((y_bar, dense_ct))
+
+        y_bar = jnp.where(valid, y_bar_prev, y_bar)
+        args_bar = jax.tree_util.tree_map(
+            lambda acc, inc: acc + jnp.where(valid, inc, jnp.zeros_like(inc)),
+            args_bar, args_inc,
+        )
+        return (y_bar, args_bar), None
+
+    args_bar0 = jax.tree_util.tree_map(jnp.zeros_like, args)
+    valid = jnp.arange(max_record) < n_acc
+    recs = (rec_t, rec_h, rec_tn, rec_y, valid)
+    # Every grid point (ts[-1] included) is filled via the dense polynomial,
+    # so the state cotangent starts at zero and accumulates from dense_ct.
+    (y_bar, args_bar), _ = jax.lax.scan(step_vjp, (jnp.zeros_like(y0), args_bar0), recs, reverse=True)
+    # out[0] == y0 contributes its cotangent directly.
+    y_bar = y_bar + out_bar[0]
+    ts_bar = jnp.zeros_like(ts)  # grid times are non-differentiable here
+    return y_bar, ts_bar, args_bar
+
+
+_odeint_adjoint.defvjp(_fwd, _bwd)
+
+
+def odeint_dopri5_adjoint(
+    field,
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    args: Any = None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-8,
+    max_steps: int = 256,
+    max_record: int | None = None,
+    barriers=None,
+):
+    """Drop-in for `odeint_dopri5` with the custom-VJP backward.
+
+    `max_record` bounds the number of accepted steps kept for the backward
+    pass (defaults to `max_steps`). If the integration accepts more steps
+    than `max_record`, gradients silently exclude the overflow steps —
+    size it at the observed per-trajectory accepted count plus margin.
+    """
+    if max_record is None:
+        max_record = max_steps
+    ts = jnp.asarray(ts, y0.dtype)
+    return _odeint_adjoint(field, y0, ts, args, rtol, atol, max_steps, max_record,
+                           None if barriers is None else tuple(jnp.asarray(barriers).tolist()))

@@ -101,6 +101,99 @@ class TestDopri5:
         np.testing.assert_allclose(ys[:, 0, :], sol.y.T, rtol=1e-5, atol=1e-7)
 
 
+class TestAdjoint:
+    """Custom-VJP integrator parity vs the bounded-scan one."""
+
+    def test_values_match_scan_integrator(self):
+        from hybridode.solvers import odeint_dopri5, odeint_dopri5_adjoint
+
+        y0 = jnp.array([[1.0, 2.0], [3.0, 0.5]])
+        ys_scan, st_scan = odeint_dopri5(exp_decay, y0, TS, 0.7, rtol=1e-7, atol=1e-9)
+        ys_adj, st_adj = odeint_dopri5_adjoint(exp_decay, y0, TS, 0.7, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(ys_adj, ys_scan, rtol=1e-6, atol=1e-8)
+        assert int(st_adj.n_accepted) == int(st_scan.n_accepted)
+        assert bool(st_adj.success)
+
+    def test_grads_match_scan_integrator(self):
+        from hybridode.solvers import odeint_dopri5, odeint_dopri5_adjoint
+
+        # nonlinear field with both y0 and args gradients, mid-grid outputs
+        def field(t, y, args):
+            lam, w = args
+            return -lam * y + w * jnp.sin(t) * y**2
+
+        y0 = jnp.array([[0.3, 0.8]])
+        args = (jnp.float32(0.9), jnp.float32(0.2))
+        ts = jnp.linspace(0.0, 3.0, 7)
+
+        def make_loss(solver):
+            def loss(y0, args):
+                ys, _ = solver(field, y0, ts, args, rtol=1e-8, atol=1e-10, max_steps=512)
+                return jnp.sum(ys[1:] ** 2) + jnp.sum(ys[3] * 0.5)
+
+            return loss
+
+        g_scan = jax.grad(make_loss(odeint_dopri5), argnums=(0, 1))(y0, args)
+        g_adj = jax.grad(make_loss(odeint_dopri5_adjoint), argnums=(0, 1))(y0, args)
+        np.testing.assert_allclose(g_adj[0], g_scan[0], rtol=2e-4, atol=1e-7)
+        for a, b in zip(g_adj[1], g_scan[1]):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+    def test_grad_analytic(self):
+        from hybridode.solvers import odeint_dopri5_adjoint
+
+        y0 = jnp.array([[1.0]])
+        T = 2.0
+
+        def loss(lam):
+            ys, _ = odeint_dopri5_adjoint(exp_decay, y0, jnp.array([0.0, T]), lam,
+                                          rtol=1e-9, atol=1e-11)
+            return ys[-1, 0, 0]
+
+        g = jax.grad(loss)(0.5)
+        np.testing.assert_allclose(g, -T * np.exp(-0.5 * T), rtol=1e-4)
+
+    def test_grad_wrt_y0_includes_identity_term(self):
+        from hybridode.solvers import odeint_dopri5_adjoint
+
+        def loss(y0):
+            ys, _ = odeint_dopri5_adjoint(exp_decay, y0, jnp.array([0.0, 1.0]), 1.0)
+            return jnp.sum(ys[0] ** 2) + jnp.sum(ys[-1] ** 2)
+
+        y0 = jnp.array([[1.0, 2.0]])
+        g = jax.grad(loss)(y0)
+        expected = 2 * y0 + 2 * y0 * np.exp(-2.0)
+        np.testing.assert_allclose(g, expected, rtol=1e-4)
+
+    def test_vmap_per_sample(self):
+        from hybridode.solvers import odeint_dopri5_adjoint
+
+        def solve_one(y0_i, lam_i):
+            ys, _ = odeint_dopri5_adjoint(exp_decay, y0_i, TS, lam_i, rtol=1e-7, atol=1e-9)
+            return ys
+
+        y0 = jnp.array([[1.0, 2.0], [3.0, 0.5], [0.2, 0.9]])
+        lam = jnp.array([0.5, 0.9, 1.3])
+        ys = jax.vmap(solve_one, out_axes=1)(y0, lam)  # (T, B, D)
+        expected = y0[None] * jnp.exp(-lam[None, :, None] * TS[:, None, None])
+        np.testing.assert_allclose(ys, expected, rtol=3e-5, atol=1e-7)
+
+        def loss(lam):
+            return jnp.sum(jax.vmap(solve_one, out_axes=1)(y0, lam)[-1])
+
+        g = jax.grad(loss)(lam)
+        expected_g = np.sum(np.asarray(y0) * (-TS[-1]) * np.exp(-np.asarray(lam)[:, None] * float(TS[-1])), axis=1)
+        np.testing.assert_allclose(g, expected_g, rtol=1e-4)
+
+    def test_max_steps_exhaustion_yields_nan(self):
+        from hybridode.solvers import odeint_dopri5_adjoint
+
+        ys, stats = odeint_dopri5_adjoint(oscillator, jnp.ones((2, 2)), jnp.linspace(0.0, 100.0, 5),
+                                          50.0, rtol=1e-12, atol=1e-14, max_steps=4)
+        assert not bool(stats.success)
+        assert bool(jnp.any(jnp.isnan(ys[-1])))
+
+
 class TestFixedStep:
     @pytest.mark.parametrize("method,tol", [("euler", 2e-2), ("midpoint", 1e-4), ("rk4", 1e-6),
                                             ("explicit_adams", 1e-5)])
