@@ -36,6 +36,7 @@ def run(
     val_criterion: str = "forecast",
     curve_path: str | None = None,
     events_path: str | None = None,
+    dp_devices: int | None = None,
 ):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
@@ -88,6 +89,7 @@ def run(
             # reference's exp_lhm.csv is a restart=1 run, Fig9.ipynb).
             curve_path=curve_path,
             events_path=events_path,
+            dp_devices=dp_devices,
         )
 
     if eval_only:
@@ -127,6 +129,8 @@ def build_parser():
                         help="write iter,val_loss,train_loss CSV (exp_lhm.csv format)")
     parser.add_argument("--events_path", default=None, type=str,
                         help="append JSONL training events")
+    parser.add_argument("--dp", default=0, type=int,
+                        help="data-parallel device count (0/1 = single device)")
     return parser
 
 
@@ -152,6 +156,7 @@ def main(argv=None):
         val_criterion=args.val_criterion,
         curve_path=args.curve_path,
         events_path=args.events_path,
+        dp_devices=args.dp if args.dp > 1 else None,
     )
 
 

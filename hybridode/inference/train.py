@@ -126,16 +126,52 @@ def variational_training_loop(
     events_path: str | None = None,
     val_criterion: str = "elbo",
     val_t0: int = 5,
+    dp_devices: int | None = None,
 ):
     """Mirror of reference training_utils.variational_training_loop.
 
     Returns (params, best_on_disk, wall_time). Checkpoints to
     path + model.model_name only when validation beats the cross-restart
     best; reloads the best checkpoint before returning.
+
+    `dp_devices`: train data-parallel over a mesh of that many devices
+    (shard_map + pmean'd grads, hybridode/parallel/mesh.py) — step-for-step
+    equivalent to single-device training with the same global batch. The
+    batch size must be divisible by the device count.
     """
-    labels = _HashableTree(param_labels(params, train_expert))
-    optimizer, step, eval_loss = _cached_step_and_eval(model, lr, train_expert, labels, val_criterion, val_t0)
+    dp = dp_devices is not None and dp_devices > 1
+    if dp:
+        from ..parallel import make_dp_eval_loss, make_dp_train_step, make_mesh, replicate, shard_batch
+
+        if batch_size % dp_devices:
+            raise ValueError(f"batch_size {batch_size} not divisible by dp_devices {dp_devices}")
+        mesh = make_mesh(dp_devices)
+        optimizer = make_optimizer(lr, params, train_expert)
+        step = make_dp_train_step(model, optimizer, mesh)
+        if val_criterion == "forecast":
+            from .elbo import forecast_loss
+
+            @jax.jit
+            def eval_loss(params, batch, key):
+                return forecast_loss(params, model, batch, val_t0)
+
+        else:
+            eval_loss = make_dp_eval_loss(model, mesh)
+
+        def to_device(batch):
+            return shard_batch(batch, mesh)
+
+        params = replicate(params, mesh)
+    else:
+        labels = _HashableTree(param_labels(params, train_expert))
+        optimizer, step, eval_loss = _cached_step_and_eval(model, lr, train_expert, labels, val_criterion, val_t0)
+
+        def to_device(batch):
+            return batch
+
     opt_state = optimizer.init(params)
+    if dp:
+        opt_state = replicate(opt_state, mesh)
 
     best_loss = 1e9
     early_stop_counter = 0
@@ -157,7 +193,7 @@ def variational_training_loop(
             batch = data_generator.get_split(train_fold, batch_size, itr % train_chunk)
 
         key, k_step = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, batch, k_step)
+        params, opt_state, loss = step(params, opt_state, to_device(batch), k_step)
 
         if not np.isfinite(float(loss)):
             if verbose:
@@ -169,7 +205,7 @@ def variational_training_loop(
             for chunk in range(val_chunks):
                 vbatch = data_generator.get_split("val", batch_size, chunk)
                 key, k_val = jax.random.split(key)
-                chunk_loss = float(eval_loss(params, vbatch, k_val))
+                chunk_loss = float(eval_loss(params, to_device(vbatch), k_val))
                 total_loss += chunk_loss if np.isfinite(chunk_loss) else 1e9
             if verbose:
                 print("Iter {:04d} | Total Loss {:.6f} | Train Loss {:.6f}".format(itr, total_loss, float(loss)))

@@ -11,8 +11,8 @@ idiomatic JAX/XLA rather than a translation:
   the integrator is reverse-mode differentiable end to end
   (discretize-then-optimize, matching the reference's
   backprop-through-solver; the adjoint import is commented out at
-  model.py:9). An unbounded `lax.while_loop` fast path is used automatically
-  when no gradient is needed;
+  model.py:9). A `lax.while_loop` forward with a custom-VJP backward over
+  accepted steps lives in `adjoint.py` (`odeint_dopri5_adjoint`);
 * solution values at the requested grid times come from the DOPRI5 4th-order
   continuous extension (dense output), evaluated vectorized against the whole
   grid after every accepted step — no data-dependent output indexing, so XLA

@@ -90,6 +90,63 @@ class TestDP:
                                    np.asarray(p_single["decoder"]["output"]["w"]), atol=2e-6)
 
 
+class TestDPTrainingLoop:
+    def test_variational_training_loop_dp(self, tmp_path):
+        """End-to-end DP training loop on the 8-device mesh: trains, validates,
+        checkpoints, reloads — the CLI's --dp path."""
+        from hybridode.inference import variational_training_loop
+
+        model = tiny_model(elbo=False)
+        params = init_vi(jax.random.PRNGKey(0), model)
+
+        class DG:
+            train_size = 16
+            val_size = 16
+
+            def get_mini_batch(self, fold, batch_size, rng):
+                return tiny_batch(B=batch_size)
+
+            def get_split(self, fold, batch_size, chunk):
+                return tiny_batch(B=batch_size)
+
+        p, best, wall = variational_training_loop(
+            niters=4, data_generator=DG(), model=model, params=params,
+            batch_size=16, lr=0.01, test_freq=2, key=jax.random.PRNGKey(1),
+            path=str(tmp_path) + "/", early_stop=10, verbose=False, dp_devices=8,
+        )
+        assert np.isfinite(best)
+        # params updated and reloaded from the best checkpoint
+        assert not np.allclose(np.asarray(p["encoder"]["lin"]["w"]),
+                               np.asarray(params["encoder"]["lin"]["w"]))
+
+    def test_dp_loop_matches_single_device_loop(self, tmp_path):
+        """Deterministic loss: DP loop and single-device loop produce the same
+        best validation loss for the same batches."""
+        from hybridode.inference import variational_training_loop
+
+        model = tiny_model(elbo=False)
+        params = init_vi(jax.random.PRNGKey(0), model)
+
+        class DG:
+            train_size = 16
+            val_size = 16
+
+            def get_mini_batch(self, fold, batch_size, rng):
+                return tiny_batch(B=batch_size)
+
+            def get_split(self, fold, batch_size, chunk):
+                return tiny_batch(B=batch_size)
+
+        kw = dict(niters=4, data_generator=DG(), model=model,
+                  batch_size=16, lr=0.01, test_freq=2, key=jax.random.PRNGKey(1),
+                  early_stop=10, verbose=False)
+        _, best_dp, _ = variational_training_loop(
+            params=params, path=str(tmp_path) + "/dp_", dp_devices=8, **kw)
+        _, best_1, _ = variational_training_loop(
+            params=params, path=str(tmp_path) + "/sd_", **kw)
+        np.testing.assert_allclose(best_dp, best_1, rtol=1e-4)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
