@@ -49,7 +49,16 @@ def main():
     dg.generate_data()
     dg.split_sample()
 
-    model = build_sim_model("hybrid", dim8_config, elbo=True, max_steps=256)
+    # A/B knobs (defaults match the shipped configuration).
+    max_steps = int(os.environ.get("BENCH_MAX_STEPS", "256"))
+    use_adjoint = os.environ.get("BENCH_ADJOINT", "") == "1"
+    max_record = os.environ.get("BENCH_MAX_RECORD")
+    model = build_sim_model("hybrid", dim8_config, elbo=True, max_steps=max_steps)
+    if use_adjoint or max_record:
+        model = model._replace(decoder_spec=model.decoder_spec._replace(
+            use_adjoint=use_adjoint,
+            max_record=int(max_record) if max_record else None,
+        ))
     params = init_vi(jax.random.PRNGKey(0), model)
     optimizer = make_optimizer(0.01, params)
     opt_state = optimizer.init(params)
@@ -113,9 +122,10 @@ def main():
             return stats.n_steps, stats.n_accepted
 
         n_steps, n_acc = jax.vmap(solve_one)(z, ctx.times, ctx.amounts)
-        return jnp.sum(n_steps), jnp.sum(n_acc)
+        return jnp.sum(n_steps), jnp.sum(n_acc), jnp.max(n_steps), jnp.max(n_acc)
 
-    n_trial, n_accepted = (int(x) for x in probe(params, probe_batch, jax.random.PRNGKey(7)))
+    n_trial, n_accepted, max_trial, max_acc = (
+        int(x) for x in probe(params, probe_batch, jax.random.PRNGKey(7)))
     # Accepted solver steps per wall-clock second across one epoch's forward
     # solves (each train step advances `batch_size` per-sample integrations).
     solver_steps_per_sec = n_accepted * steps_per_epoch / epoch_seconds
@@ -123,7 +133,8 @@ def main():
     print(timer.report(), file=sys.stderr)
     print(
         f"solver: {n_accepted} accepted / {n_trial} trial steps per batch-{batch_size} solve "
-        f"({n_accepted / max(n_trial, 1):.2%} accept rate)",
+        f"({n_accepted / max(n_trial, 1):.2%} accept rate); "
+        f"per-patient max: {max_acc} accepted / {max_trial} trial (budget {max_steps})",
         file=sys.stderr,
     )
 

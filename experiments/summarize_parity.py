@@ -1,0 +1,91 @@
+"""Summarize the protocol-matched ELBO parity sweep into a markdown table.
+
+Parses results/results_sample_elbo.txt (and results_dim_elbo.txt if present):
+blocks of `# seed=S sample=N method=M` followed by the 4-line CSV tail.
+Prints mean +/- seed-SD per (method, group) cell next to the reference's
+committed numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "results")
+
+# Reference committed results (results/results_sample.txt, results_dim.txt —
+# see BASELINE.md). rmse_x rows.
+REF_SAMPLE = {
+    ("neural", "310"): 0.8416, ("expert", "310"): 0.7588, ("hybrid", "310"): 0.6176,
+    ("neural", "400"): 0.8009, ("expert", "400"): 0.7295, ("hybrid", "400"): 0.6246,
+    ("neural", "800"): 0.7743, ("expert", "800"): 0.8552, ("hybrid", "800"): 0.6214,
+}
+REF_DIM = {
+    ("neural", "dim8"): 0.8470, ("expert", "dim8"): 0.8229, ("hybrid", "dim8"): 0.7510,
+    ("neural", "dim12"): 0.8371, ("expert", "dim12"): 0.9217, ("hybrid", "dim12"): 0.7965,
+}
+
+
+def parse(path, group_key):
+    cells = defaultdict(dict)  # (method, group) -> {seed: {metric: value}}
+    if not os.path.exists(path):
+        return cells
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    header = None
+    for line in lines:
+        m = re.match(r"# seed=(\S+) " + group_key + r"=(\S+) method=(\S+)", line)
+        if m:
+            header = (m.group(3), m.group(2), m.group(1))
+            continue
+        if header and "," in line:
+            metric, value, sd = line.split(",")
+            method, group, seed = header
+            cells[(method, group)].setdefault(seed, {})[metric] = (float(value), float(sd))
+    return cells
+
+
+def table(cells, ref, groups, title):
+    if not cells:
+        return
+    print(f"\n## {title} (rmse_x, mean +/- seed-SD over seeds; reference committed value)\n")
+    methods = ["neural", "expert", "hybrid"]
+    print("| method | " + " | ".join(f"{g} (ours/ref)" for g in groups) + " |")
+    print("|---|" + "---|" * len(groups))
+    wins = 0
+    total = 0
+    for method in methods:
+        row = [method]
+        for g in groups:
+            seeds = cells.get((method, g), {})
+            vals = [v["rmse_x"][0] for v in seeds.values() if "rmse_x" in v]
+            if not vals:
+                row.append("-")
+                continue
+            mean, sd = float(np.mean(vals)), float(np.std(vals))
+            r = ref.get((method, g))
+            mark = ""
+            if r is not None:
+                total += 1
+                if mean < r:
+                    wins += 1
+                    mark = "**"
+            row.append(f"{mark}{mean:.3f}+/-{sd:.3f}{mark} / {r:.3f} (n={len(vals)})")
+        print("| " + " | ".join(row) + " |")
+    if total:
+        print(f"\nbeats reference on {wins}/{total} cells under its own selection rule")
+
+
+def main():
+    table(parse(os.path.join(RESULTS, "results_sample_elbo.txt"), "sample"),
+          REF_SAMPLE, ["310", "400", "800"], "Fig3 sample sweep, val_criterion=elbo")
+    table(parse(os.path.join(RESULTS, "results_dim_elbo.txt"), "dim"),
+          REF_DIM, ["dim8", "dim12"], "Dim sweep, val_criterion=elbo")
+
+
+if __name__ == "__main__":
+    main()
