@@ -5,6 +5,10 @@
 # niters=400, test_freq=10, early_stop=10, eval-only on the dedicated test
 # cohort (reference Fig3.sh:56-67) — across >=3 training seeds.
 #
+# Resumable: a cell is skipped when its result log already holds the 4-line
+# CSV tail (so an interrupted sweep picks up where it left off); the OUT
+# summary is rebuilt from the logs at the end.
+#
 # Usage: SEEDS="666 123 42" bash experiments/parity_elbo.sh [fig3|dim]
 set -e
 cd "$(dirname "$0")/.."
@@ -14,22 +18,34 @@ SEEDS=${SEEDS:-666 123 42}
 WHICH=${1:-fig3}
 mkdir -p results model
 
+done_log() { [ -f "$1" ] && [ "$(grep -c '^rmse_x\|^rmse_z0\|^cprs' "$1" 2>/dev/null)" -ge 4 ]; }
+
 if [ "$WHICH" = "fig3" ]; then
   OUT=results/results_sample_elbo.txt
-  : > "$OUT"
   for SEED in $SEEDS; do
     for SAMPLE in 310 400 800; do
       for METHOD in neural expert hybrid; do
         P=model/elbo_s${SEED}_${SAMPLE}_
+        ELOG=results/elbo_${METHOD}_${SAMPLE}_s${SEED}_test.txt
+        if done_log "$ELOG"; then echo "skip $METHOD $SAMPLE s$SEED (done)"; continue; fi
         LOG=results/elbo_${METHOD}_${SAMPLE}_s${SEED}.txt
         python -m hybridode.cli.run_simulation --method=$METHOD --sample=$SAMPLE \
           --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
           --path=$P --data_path=$TRAIN > "$LOG"
-        ELOG=results/elbo_${METHOD}_${SAMPLE}_s${SEED}_test.txt
         python -m hybridode.cli.run_simulation --method=$METHOD --sample=$SAMPLE \
           --seed=$SEED --path=$P --data_path=$TEST --eval=y > "$ELOG"
-        echo "# seed=$SEED sample=$SAMPLE method=$METHOD" >> "$OUT"
-        tail -n 4 "$ELOG" >> "$OUT"
+      done
+    done
+  done
+  : > "$OUT"
+  for SEED in $SEEDS; do
+    for SAMPLE in 310 400 800; do
+      for METHOD in neural expert hybrid; do
+        ELOG=results/elbo_${METHOD}_${SAMPLE}_s${SEED}_test.txt
+        if done_log "$ELOG"; then
+          echo "# seed=$SEED sample=$SAMPLE method=$METHOD" >> "$OUT"
+          tail -n 4 "$ELOG" >> "$OUT"
+        fi
       done
     done
   done
@@ -37,24 +53,34 @@ if [ "$WHICH" = "fig3" ]; then
 else
   # dim8/dim12 under the reference run_dim.sh protocol + elbo criterion.
   OUT=results/results_dim_elbo.txt
-  : > "$OUT"
   for SEED in $SEEDS; do
     for DIM in dim8 dim12; do
       DATA=data/datafile_${DIM}.pkl
       for METHOD in neural expert; do
         LOG=results/elbo_${METHOD}_${DIM}_s${SEED}.txt
+        if done_log "$LOG"; then echo "skip $METHOD $DIM s$SEED (done)"; continue; fi
         python -m hybridode.cli.run_simulation --method=$METHOD --sample=1200 \
           --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
           --path=model/elbo_s${SEED}_${DIM}_ --data_config=$DIM --data_path=$DATA > "$LOG"
-        echo "# seed=$SEED dim=$DIM method=$METHOD" >> "$OUT"
-        tail -n 4 "$LOG" >> "$OUT"
       done
       LOG=results/elbo_hybrid_${DIM}_s${SEED}.txt
-      python -m hybridode.cli.run_simulation --method=hybrid --sample=1200 \
-        --batch_size=10 --arg_itr=1000 --restart=1 --seed=$SEED --val_criterion=elbo \
-        --path=model/elbo_s${SEED}_${DIM}_ --data_config=$DIM --data_path=$DATA > "$LOG"
-      echo "# seed=$SEED dim=$DIM method=hybrid" >> "$OUT"
-      tail -n 4 "$LOG" >> "$OUT"
+      if done_log "$LOG"; then echo "skip hybrid $DIM s$SEED (done)"; else
+        python -m hybridode.cli.run_simulation --method=hybrid --sample=1200 \
+          --batch_size=10 --arg_itr=1000 --restart=1 --seed=$SEED --val_criterion=elbo \
+          --path=model/elbo_s${SEED}_${DIM}_ --data_config=$DIM --data_path=$DATA > "$LOG"
+      fi
+    done
+  done
+  : > "$OUT"
+  for SEED in $SEEDS; do
+    for DIM in dim8 dim12; do
+      for METHOD in neural expert hybrid; do
+        LOG=results/elbo_${METHOD}_${DIM}_s${SEED}.txt
+        if done_log "$LOG"; then
+          echo "# seed=$SEED dim=$DIM method=$METHOD" >> "$OUT"
+          tail -n 4 "$LOG" >> "$OUT"
+        fi
+      done
     done
   done
   echo "wrote $OUT"

@@ -1,23 +1,29 @@
 #!/usr/bin/env bash
-# Round-2 experiment queue: runs after the fig3 ELBO parity sweep finishes.
-# Sequential so nothing contends for the single TPU chip / host core.
+# Round-2 experiment queue. Sequential so nothing contends for the single
+# TPU chip / host core. Each stage is resumable (see parity_elbo.sh/real.sh).
 set -x
 cd "$(dirname "$0")/.."
 
-# 1. dim sweep under the reference's elbo criterion (3 seeds)
+# 0. cohorts (idempotent: skip if present)
+[ -f data/datafile_dim12.pkl ] || python -m hybridode.cli.create_data --which all --out data/
+
+# 1. fig3 sample sweep under the reference's elbo criterion (3 seeds)
+SEEDS="666 123 42" bash experiments/parity_elbo.sh fig3
+
+# 2. dim sweep under the reference's elbo criterion (3 seeds)
 SEEDS="666 123 42" bash experiments/parity_elbo.sh dim
 
-# 2. real-data stand-in sweep (8 methods x 4 sample sizes)
+# 3. real-data stand-in sweep (8 methods x 4 sample sizes)
 STANDIN=y bash experiments/real.sh
 
-# 3. fig6 re-evals at t0 in {10,12} (uses model/800_ checkpoints from the
-#    round-1 fig3 run; falls back silently if absent)
-bash experiments/fig6.sh || true
+# 4. fig6 re-evals at t0 in {10,12} using the seed-666 elbo sample=800 models
+MODEL_PREFIX=model/elbo_s666_800_ bash experiments/fig6.sh || true
 
-# 4. fig9 training curves via the curve logger
+# 5. fig9 latent sweep + training curves via the curve logger
 bash experiments/fig9.sh
 
-# 5. figures
+# 6. figures + parity summary
 python experiments/figures.py --which all || true
+python experiments/summarize_parity.py > results/parity_summary.md || true
 
 echo "QUEUE_DONE"
