@@ -103,14 +103,16 @@ def encoder_planar_lstm_apply(params, spec: EncoderPlanarLSTMSpec, x, a, mask):
     return mu, log_var, u, w, b
 
 
-def planar_reparameterize(key, encoder_out, num_flows: int):
+def planar_reparameterize(key, encoder_out, num_flows: int, eps=None):
     """Sample z0, push through the planar flows, then the fixed exp(z-5)
     positivity layer with its log-det (model.py:128-147).
 
-    Returns (mu, log_var, z_final, log_det_j, z0).
+    `eps` optionally overrides the base-Gaussian draw (see
+    priors.gaussian_reparameterize). Returns (mu, log_var, z_final,
+    log_det_j, z0).
     """
     mu, log_var, u, w, b = encoder_out
-    z0 = priors.gaussian_reparameterize(key, mu, log_var)
+    z0 = priors.gaussian_reparameterize(key, mu, log_var, eps=eps)
     z = z0
     log_det_j = 0.0
     for k in range(num_flows):

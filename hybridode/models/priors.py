@@ -14,10 +14,16 @@ import jax.numpy as jnp
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def gaussian_reparameterize(key, mu, log_var):
-    """z = mu + eps * exp(log_var / 2), eps ~ N(0, I)."""
+def gaussian_reparameterize(key, mu, log_var, eps=None):
+    """z = mu + eps * exp(log_var / 2), eps ~ N(0, I).
+
+    `eps` overrides the draw (same shape as mu) — used by the sharded eval
+    path, where each shard slices its block of a globally-drawn eps so the
+    result is layout-invariant (JAX PRNG draws depend on the array shape).
+    """
     std = jnp.exp(0.5 * log_var)
-    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    if eps is None:
+        eps = jax.random.normal(key, mu.shape, mu.dtype)
     return eps * std + mu
 
 

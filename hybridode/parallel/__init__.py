@@ -1,5 +1,6 @@
-"""Device-mesh data parallelism."""
+"""Device-mesh parallelism: 1-D batch DP + 2-D (patients x MC) eval."""
 
+from .eval import evaluate_sharded, make_mesh_2d, make_sharded_eval_chunk
 from .mesh import (
     batch_sharding,
     make_dp_eval_loss,
@@ -18,4 +19,7 @@ __all__ = [
     "replicate",
     "make_dp_train_step",
     "make_dp_eval_loss",
+    "make_mesh_2d",
+    "make_sharded_eval_chunk",
+    "evaluate_sharded",
 ]

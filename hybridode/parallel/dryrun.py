@@ -103,6 +103,25 @@ def run(n_devices: int) -> float:
     jax.block_until_ready(loss)
     loss = float(loss)
     assert np.isfinite(loss), "DP train step produced non-finite loss"
+
+    # Second mesh topology: the 2-D (patients x MC-samples) evaluation layout
+    # (parallel/eval.py) — exercises all_gather over the mc axis on top of
+    # the dp sharding, and must agree with the single-device eval chunk.
+    if n_devices % 2 == 0:
+        from hybridode.eval.metrics import _eval_chunk
+        from hybridode.parallel import make_mesh_2d, make_sharded_eval_chunk
+
+        mesh2 = make_mesh_2d(n_devices // 2, 2)
+        t0, mc_itr, expert_dim = 5, 4, 4
+        params_host = jax.device_get(params)
+        batch_host = {k: jax.device_get(v) for k, v in batch.items()}
+        chunk_fn = make_sharded_eval_chunk(model, mesh2, t0, mc_itr, expert_dim)
+        got = chunk_fn(params_host, batch_host, jax.random.PRNGKey(4))
+        ref = _eval_chunk(params_host, model, batch_host, t0, mc_itr, expert_dim,
+                          jax.random.PRNGKey(4))
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6)
+        print(f"dryrun 2D mesh ({n_devices // 2}x2 data x mc) eval parity OK")
     return loss
 
 

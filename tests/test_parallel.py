@@ -165,3 +165,64 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedEval:
+    def test_sharded_eval_matches_single_device(self):
+        """(patients x MC) sharded _eval_chunk == single-device _eval_chunk:
+        same key schedule, all_gather'd CRPS sample set, float tolerance."""
+        from hybridode.eval.metrics import _eval_chunk
+        from hybridode.parallel import make_mesh_2d, make_sharded_eval_chunk
+
+        model = tiny_model(elbo=True)
+        params = init_vi(jax.random.PRNGKey(0), model)
+        batch = tiny_batch(B=16)
+        t0, mc_itr, expert_dim = 2, 8, 4
+        key = jax.random.PRNGKey(3)
+
+        ref = _eval_chunk(params, model, batch, t0, mc_itr, expert_dim, key)
+
+        mesh = make_mesh_2d(4, 2)
+        chunk_fn = make_sharded_eval_chunk(model, mesh, t0, mc_itr, expert_dim)
+        got = chunk_fn(params, batch, key)
+
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6)
+
+    def test_sharded_eval_rejects_indivisible_mc(self):
+        from hybridode.parallel import make_mesh_2d, make_sharded_eval_chunk
+
+        model = tiny_model(elbo=True)
+        mesh = make_mesh_2d(2, 4)
+        try:
+            make_sharded_eval_chunk(model, mesh, 2, 10, 4)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+    def test_evaluate_sharded_csv_contract(self, capsys):
+        """evaluate_sharded mirrors evaluate(): same chunking + CSV tail."""
+        from hybridode.eval.metrics import evaluate
+        from hybridode.parallel import evaluate_sharded, make_mesh_2d
+
+        model = tiny_model(elbo=True)
+        params = init_vi(jax.random.PRNGKey(0), model)
+
+        class DG:
+            test_size = 16
+            expert_dim = 4
+
+            def get_split(self, fold, batch_size, chunk):
+                return tiny_batch(B=batch_size)
+
+        ref = evaluate(params, model, DG(), batch_size=16, t0=2, mc_itr=8,
+                       key=jax.random.PRNGKey(5), verbose=False)
+        mesh = make_mesh_2d(4, 2)
+        got = evaluate_sharded(params, model, DG(), batch_size=16, t0=2,
+                               mesh=mesh, mc_itr=8, key=jax.random.PRNGKey(5), verbose=True)
+        out = capsys.readouterr().out
+        assert out.startswith("rmse_z0,") and "cprs_x," in out
+        # indices 1/4 are bootstrap SEs (fresh resamples each call) — compare
+        # the deterministic metrics only.
+        for i in (0, 2, 3, 5):
+            np.testing.assert_allclose(got[i], ref[i], rtol=2e-4, atol=2e-6)
