@@ -84,3 +84,48 @@ class TestETL:
         assert dg.obs_dim == 3 and dg.static_dim == 2
         b = dg.get_split("train", 2, 0)
         assert b["statics"].shape[0] == dg.t_max
+
+
+class TestRealCohort:
+    def test_standin_deterministic(self, tmp_path):
+        from hybridode.data import make_real_standin
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        make_real_standin(a, n_sample=32, t_max=20, obs_dim=5, static_dim=3)
+        make_real_standin(b, n_sample=32, t_max=20, obs_dim=5, static_dim=3)
+        import pickle
+
+        for name in ("array_xt5.pkl", "array_at5.pkl", "array_x_constant.pkl"):
+            xa = pickle.load(open(f"{a}/{name}", "rb"))
+            xb = pickle.load(open(f"{b}/{name}", "rb"))
+            np.testing.assert_array_equal(xa, xb)
+
+    def test_split_and_train_size(self, tmp_path):
+        from hybridode.data import RealCohort, make_real_standin
+
+        p = str(tmp_path)
+        make_real_standin(p, n_sample=40, t_max=12, obs_dim=4, static_dim=2)
+        dg = RealCohort(data_path=p, data_type="5", latent_dim=6, val_size=8, test_size=8)
+        dg.split_sample()
+        assert dg.train_size == 24
+        assert dg.data_test["measurements"].shape == (12, 8, 4)
+        assert dg.data_train["statics"].shape == (12, 24, 2)
+        assert dg.data_train["latents"].shape == (12, 24, 6)
+        dg.set_train_size(10)
+        assert dg.data_train["measurements"].shape[1] == 10
+        b = dg.get_mini_batch("train", 4)
+        assert b["measurements"].shape == (12, 4, 4)
+
+    def test_train_size_bounds(self, tmp_path):
+        from hybridode.data import RealCohort, make_real_standin
+
+        p = str(tmp_path)
+        make_real_standin(p, n_sample=20, t_max=8, obs_dim=3, static_dim=2)
+        dg = RealCohort(data_path=p, data_type="5", latent_dim=4, val_size=4, test_size=4)
+        dg.split_sample()
+        for bad in (0, 13):
+            try:
+                dg.set_train_size(bad)
+                assert False, "expected ValueError"
+            except ValueError:
+                pass
