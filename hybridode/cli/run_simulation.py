@@ -37,6 +37,7 @@ def run(
     curve_path: str | None = None,
     events_path: str | None = None,
     dp_devices: int | None = None,
+    eval_mesh: tuple[int, int] | None = None,
 ):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
@@ -98,7 +99,14 @@ def run(
         print("Overall best loss: {:.6f}".format(best_loss))
 
     key, k_eval = jax.random.split(key)
-    evaluate(params, model, dg, optim_config.batch_size, eval_config.t0, key=k_eval)
+    if eval_mesh is not None:
+        from ..parallel import evaluate_sharded, make_mesh_2d
+
+        mesh = make_mesh_2d(*eval_mesh)
+        evaluate_sharded(params, model, dg, optim_config.batch_size, eval_config.t0,
+                         mesh=mesh, key=k_eval)
+    else:
+        evaluate(params, model, dg, optim_config.batch_size, eval_config.t0, key=k_eval)
     return params, model
 
 
@@ -131,6 +139,8 @@ def build_parser():
                         help="append JSONL training events")
     parser.add_argument("--dp", default=0, type=int,
                         help="data-parallel device count (0/1 = single device)")
+    parser.add_argument("--eval_mesh", default=None, type=str,
+                        help="'DPxMC' (e.g. 4x2): evaluate on a 2-D patients-x-MC device mesh")
     return parser
 
 
@@ -157,6 +167,7 @@ def main(argv=None):
         curve_path=args.curve_path,
         events_path=args.events_path,
         dp_devices=args.dp if args.dp > 1 else None,
+        eval_mesh=tuple(int(x) for x in args.eval_mesh.split("x")) if args.eval_mesh else None,
     )
 
 

@@ -127,3 +127,26 @@ class TestRunReal:
             standin_kwargs=dict(n_sample=96, t_max=40, obs_dim=6, static_dim=3),
             model_dir=str(tmp_path / "m") + "/",
         )
+
+
+class TestEvalMesh:
+    def test_eval_mesh_cli_path(self, small_data, tmp_path, capsys):
+        """--eval_mesh DPxMC: the CLI's sharded-eval branch produces the same
+        CSV metrics as the single-device eval (same key schedule)."""
+        from hybridode.cli.run_simulation import run
+
+        data_path, _ = small_data
+        oc = OptimConfig(shuffle=False, n_restart=1, batch_size=8, niters=2, test_freq=2,
+                         early_stop=10)
+        run(seed=1, elbo=True, eval_only=False, init_path=None, data_path=data_path,
+            sample=40, data_config=DC, model_method="expert", path=str(tmp_path) + "/",
+            optim_config=oc, eval_config=EvalConfig(t0=5))
+        single = [l for l in capsys.readouterr().out.splitlines() if l.startswith(("rmse", "cprs"))]
+        run(seed=1, elbo=True, eval_only=True, init_path=None, data_path=data_path,
+            sample=40, data_config=DC, model_method="expert", path=str(tmp_path) + "/",
+            optim_config=oc, eval_config=EvalConfig(t0=5), eval_mesh=(4, 2))
+        sharded = [l for l in capsys.readouterr().out.splitlines() if l.startswith(("rmse", "cprs"))]
+        assert len(sharded) == 4
+        # point metrics (col 2) match; bootstrap SEs (col 3) use fresh resamples
+        for s, g in zip(single, sharded):
+            assert s.split(",")[:2] == g.split(",")[:2]
