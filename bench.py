@@ -70,6 +70,35 @@ def main():
     key = jax.random.PRNGKey(1)
     timer = PhaseTimer()
 
+    def make_probe(model):
+        spec = model.decoder_spec
+        ts = jnp.asarray(spec.ts)
+
+        @jax.jit
+        def probe(params, batch, key, probe_steps=spec.max_steps):
+            from hybridode.fields import doses_from_actions, roche_field
+            from hybridode.inference.elbo import encode
+
+            mu, log_var = encode(params, model, batch["measurements"], batch["actions"], batch["masks"])
+            from hybridode.models import priors
+
+            z = priors.gaussian_reparameterize(key, mu, log_var)
+            ctx = doses_from_actions(batch["actions"], spec.step_size)
+            CtxType = type(ctx)
+
+            def solve_one(z_i, times_i, amounts_i):
+                _, stats = odeint_dopri5(
+                    roche_field, z_i, ts,
+                    (params["decoder"]["ode"], CtxType(times=times_i, amounts=amounts_i)),
+                    rtol=spec.rtol, atol=spec.atol, max_steps=probe_steps,
+                )
+                return stats.n_steps, stats.n_accepted
+
+            n_steps, n_acc = jax.vmap(solve_one)(z, ctx.times, ctx.amounts)
+            return jnp.sum(n_steps), jnp.sum(n_acc), jnp.max(n_steps), jnp.max(n_acc)
+
+        return probe
+
     def one_epoch(params, opt_state, key):
         for _ in range(steps_per_epoch):
             with timer.phase("data"):
@@ -83,6 +112,26 @@ def main():
 
     # Warmup (compile) + 1 epoch to stabilize.
     params, opt_state, key, _ = one_epoch(params, opt_state, key)
+
+    # BENCH_CALIBRATE=1: measure the cohort's actual per-sample trial-step
+    # demand (after the warmup updates) and shrink the budget to
+    # 1.25 * max-demand rounded to the solver chunk — the calibrated-budget
+    # configuration from PERFORMANCE.md's headroom list.
+    calibrated = None
+    if os.environ.get("BENCH_CALIBRATE", "") == "1":
+        import math
+
+        from hybridode.solvers.dopri5 import _CHUNK_SIZE
+
+        wide = model._replace(decoder_spec=model.decoder_spec._replace(max_steps=512))
+        pbatch = dg.get_mini_batch("train", batch_size, np.random.RandomState(2))
+        _, _, max_trial, _ = make_probe(wide)(params, pbatch, jax.random.PRNGKey(9))
+        calibrated = max(1, math.ceil(1.25 * int(max_trial) / _CHUNK_SIZE)) * _CHUNK_SIZE
+        model = model._replace(decoder_spec=model.decoder_spec._replace(max_steps=calibrated))
+        step = make_train_step(model, optimizer)
+        print(f"calibrated max_steps: {calibrated} (probe max trial {int(max_trial)})", file=sys.stderr)
+        params, opt_state, key, _ = one_epoch(params, opt_state, key)  # re-compile
+
     timer = PhaseTimer()  # drop compile time from the report
 
     n_epochs = 3
@@ -90,6 +139,7 @@ def main():
     for _ in range(n_epochs):
         params, opt_state, key, loss = one_epoch(params, opt_state, key)
     epoch_seconds = (time.time() - t0) / n_epochs
+    assert np.isfinite(loss), "bench epoch produced non-finite loss (budget too tight?)"
 
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
     if trace_dir:
@@ -98,34 +148,9 @@ def main():
 
     # Solver utilization: accepted/trial DOPRI5 steps for one training batch
     # under the decoder's own settings (per-sample adaptive control).
-    spec = model.decoder_spec
-    ts = jnp.asarray(spec.ts)
     probe_batch = dg.get_mini_batch("train", batch_size, np.random.RandomState(1))
-
-    @jax.jit
-    def probe(params, batch, key):
-        from hybridode.fields import doses_from_actions, roche_field
-        from hybridode.inference.elbo import encode
-        from hybridode.models import priors
-
-        mu, log_var = encode(params, model, batch["measurements"], batch["actions"], batch["masks"])
-        z = priors.gaussian_reparameterize(key, mu, log_var)
-        ctx = doses_from_actions(batch["actions"], spec.step_size)
-        CtxType = type(ctx)
-
-        def solve_one(z_i, times_i, amounts_i):
-            _, stats = odeint_dopri5(
-                roche_field, z_i, ts,
-                (params["decoder"]["ode"], CtxType(times=times_i, amounts=amounts_i)),
-                rtol=spec.rtol, atol=spec.atol, max_steps=spec.max_steps,
-            )
-            return stats.n_steps, stats.n_accepted
-
-        n_steps, n_acc = jax.vmap(solve_one)(z, ctx.times, ctx.amounts)
-        return jnp.sum(n_steps), jnp.sum(n_acc), jnp.max(n_steps), jnp.max(n_acc)
-
     n_trial, n_accepted, max_trial, max_acc = (
-        int(x) for x in probe(params, probe_batch, jax.random.PRNGKey(7)))
+        int(x) for x in make_probe(model)(params, probe_batch, jax.random.PRNGKey(7)))
     # Accepted solver steps per wall-clock second across one epoch's forward
     # solves (each train step advances `batch_size` per-sample integrations).
     solver_steps_per_sec = n_accepted * steps_per_epoch / epoch_seconds
@@ -134,7 +159,7 @@ def main():
     print(
         f"solver: {n_accepted} accepted / {n_trial} trial steps per batch-{batch_size} solve "
         f"({n_accepted / max(n_trial, 1):.2%} accept rate); "
-        f"per-patient max: {max_acc} accepted / {max_trial} trial (budget {max_steps})",
+        f"per-patient max: {max_acc} accepted / {max_trial} trial (budget {model.decoder_spec.max_steps})",
         file=sys.stderr,
     )
 
@@ -153,6 +178,7 @@ def main():
         "solver_steps_per_sec": round(solver_steps_per_sec, 1),
         "solver_accepted_steps_per_batch": n_accepted,
         "solver_trial_steps_per_batch": n_trial,
+        **({"calibrated_max_steps": calibrated} if calibrated else {}),
     }))
 
 

@@ -14,6 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 
 from .adjoint import odeint_dopri5_adjoint
+from .calibrate import calibrate_trial_budget
 from .dopri5 import Dopri5Stats, odeint_dopri5
 from .fixed_step import odeint_fixed
 
@@ -59,6 +60,7 @@ __all__ = [
     "odeint_with_stats",
     "odeint_dopri5",
     "odeint_dopri5_adjoint",
+    "calibrate_trial_budget",
     "odeint_fixed",
     "Dopri5Stats",
     "ADAPTIVE_METHODS",

@@ -237,3 +237,42 @@ class TestFixedStep:
         ts = jnp.linspace(0.0, 3.0, 7)
         ys = odeint(f, jnp.zeros((1, 1)), ts, None, method="rk4", n_substeps=16)
         np.testing.assert_allclose(ys[:, 0, 0], jnp.sin(ts), atol=1e-6)
+
+
+class TestCalibrate:
+    def test_calibrated_budget_covers_demand(self):
+        """Budget from the probe finishes the same solves; margin and chunk
+        rounding hold."""
+        from hybridode.solvers import calibrate_trial_budget, odeint_dopri5
+        from hybridode.solvers.dopri5 import _CHUNK_SIZE
+
+        def exp_decay(t, y, k):
+            return -k * y
+
+        y0 = jnp.linspace(0.5, 2.0, 8)[:, None]  # (8, 1)
+        ks = jnp.linspace(0.2, 3.0, 8)  # stiffer lanes need more steps
+        ts = jnp.linspace(0.0, 5.0, 11)
+        budget = calibrate_trial_budget(exp_decay, y0, ts, ks, rtol=1e-6, atol=1e-9)
+        assert budget % _CHUNK_SIZE == 0
+
+        def solve_one(y, k):
+            ys, st = odeint_dopri5(exp_decay, y, ts, k, rtol=1e-6, atol=1e-9, max_steps=budget)
+            return st.success
+
+        ok = jax.vmap(solve_one)(y0, ks)
+        assert bool(jnp.all(ok))
+
+    def test_probe_exhaustion_raises(self):
+        from hybridode.solvers import calibrate_trial_budget
+
+        def stiff(t, y, k):
+            return -k * y
+
+        y0 = jnp.ones((2, 1))
+        ks = jnp.asarray([1.0, 400.0])
+        ts = jnp.linspace(0.0, 5.0, 11)
+        try:
+            calibrate_trial_budget(stiff, y0, ts, ks, rtol=1e-9, atol=1e-12, probe_budget=64)
+            assert False, "expected RuntimeError"
+        except RuntimeError:
+            pass
