@@ -99,10 +99,17 @@ class RealCohort:
         The reference only re-points `self.train_size` (dataloader.py:463-464)
         and relies on chunked sequential batching to never reach past it;
         re-slicing `data_train` is behaviorally identical under that access
-        pattern and keeps `get_mini_batch` consistent too.
+        pattern and keeps `get_mini_batch` consistent too. A request larger
+        than the available train pool clamps to the pool (the reference's
+        real.sh passes sample=1000 against a 997-patient pool and silently
+        trains on what exists).
         """
-        if train_sample_size <= 0 or train_sample_size > self.n_sample - self.val_size - self.test_size:
+        if train_sample_size <= 0:
             raise ValueError(f"train_sample_size={train_sample_size} out of range")
+        avail = self.n_sample - self.val_size - self.test_size
+        if train_sample_size > avail:
+            print(f"set_train_size: clamping {train_sample_size} -> {avail} (pool size)")
+            train_sample_size = avail
         self.train_size = int(train_sample_size)
         self.data_train = {k: v[:, : self.train_size] for k, v in self.data_train.items()}
 

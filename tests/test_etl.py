@@ -123,9 +123,13 @@ class TestRealCohort:
         make_real_standin(p, n_sample=20, t_max=8, obs_dim=3, static_dim=2)
         dg = RealCohort(data_path=p, data_type="5", latent_dim=4, val_size=4, test_size=4)
         dg.split_sample()
-        for bad in (0, 13):
-            try:
-                dg.set_train_size(bad)
-                assert False, "expected ValueError"
-            except ValueError:
-                pass
+        try:
+            dg.set_train_size(0)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+        # over-ask clamps to the pool (reference real.sh passes sample=1000
+        # against a 997-patient pool)
+        dg.set_train_size(13)
+        assert dg.train_size == 12
+        assert dg.data_train["measurements"].shape[1] == 12
