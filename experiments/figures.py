@@ -11,6 +11,11 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import sys
+
+# Runnable as `python experiments/figures.py` from the repo root: the script
+# dir is on sys.path but the package root is not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import matplotlib
 
