@@ -99,16 +99,21 @@ def main():
 
         return probe
 
-    def one_epoch(params, opt_state, key):
+    def one_epoch(params, opt_state, key, sync=True):
         for _ in range(steps_per_epoch):
             with timer.phase("data"):
                 batch = dg.get_mini_batch("train", batch_size, rng)
             key, k = jax.random.split(key)
             with timer.phase("step"):
                 params, opt_state, loss = step(params, opt_state, batch, k)
-        with timer.phase("sync"):
-            jax.block_until_ready(loss)
-        return params, opt_state, key, float(loss)
+        if sync:
+            # One device roundtrip per epoch (outside the timed window the
+            # measurement loop syncs once at the end instead — standard JAX
+            # timing practice; the tunnel RTT on this box is ~100-150 ms and
+            # would otherwise dominate the dispatch-pipelined epoch).
+            with timer.phase("sync"):
+                jax.block_until_ready(loss)
+        return params, opt_state, key, loss
 
     # Warmup (compile) + 1 epoch to stabilize.
     params, opt_state, key, _ = one_epoch(params, opt_state, key)
@@ -137,9 +142,10 @@ def main():
     n_epochs = 3
     t0 = time.time()
     for _ in range(n_epochs):
-        params, opt_state, key, loss = one_epoch(params, opt_state, key)
+        params, opt_state, key, loss = one_epoch(params, opt_state, key, sync=False)
+    jax.block_until_ready(loss)
     epoch_seconds = (time.time() - t0) / n_epochs
-    assert np.isfinite(loss), "bench epoch produced non-finite loss (budget too tight?)"
+    assert np.isfinite(float(loss)), "bench epoch produced non-finite loss (budget too tight?)"
 
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
     if trace_dir:
