@@ -92,10 +92,10 @@ def main():
                     (params["decoder"]["ode"], CtxType(times=times_i, amounts=amounts_i)),
                     rtol=spec.rtol, atol=spec.atol, max_steps=probe_steps,
                 )
-                return stats.n_steps, stats.n_accepted
+                return stats.n_steps, stats.n_accepted, stats.success
 
-            n_steps, n_acc = jax.vmap(solve_one)(z, ctx.times, ctx.amounts)
-            return jnp.sum(n_steps), jnp.sum(n_acc), jnp.max(n_steps), jnp.max(n_acc)
+            n_steps, n_acc, ok = jax.vmap(solve_one)(z, ctx.times, ctx.amounts)
+            return jnp.sum(n_steps), jnp.sum(n_acc), jnp.max(n_steps), jnp.max(n_acc), jnp.all(ok)
 
         return probe
 
@@ -130,7 +130,11 @@ def main():
 
         wide = model._replace(decoder_spec=model.decoder_spec._replace(max_steps=512))
         pbatch = dg.get_mini_batch("train", batch_size, np.random.RandomState(2))
-        _, _, max_trial, _ = make_probe(wide)(params, pbatch, jax.random.PRNGKey(9))
+        _, _, max_trial, _, probe_ok = make_probe(wide)(params, pbatch, jax.random.PRNGKey(9))
+        # Same exhaustion check calibrate_trial_budget performs: a probe lane
+        # that burned the whole wide budget would silently under-calibrate.
+        if not bool(probe_ok):
+            raise RuntimeError("calibration probe exhausted its 512-step budget; cannot calibrate")
         calibrated = max(1, math.ceil(1.25 * int(max_trial) / _CHUNK_SIZE)) * _CHUNK_SIZE
         model = model._replace(decoder_spec=model.decoder_spec._replace(max_steps=calibrated))
         step = make_train_step(model, optimizer)
@@ -155,8 +159,9 @@ def main():
     # Solver utilization: accepted/trial DOPRI5 steps for one training batch
     # under the decoder's own settings (per-sample adaptive control).
     probe_batch = dg.get_mini_batch("train", batch_size, np.random.RandomState(1))
-    n_trial, n_accepted, max_trial, max_acc = (
+    n_trial, n_accepted, max_trial, max_acc, solve_ok = (
         int(x) for x in make_probe(model)(params, probe_batch, jax.random.PRNGKey(7)))
+    assert solve_ok, "a benched solve exhausted its step budget (max_steps too tight)"
     # Accepted solver steps per wall-clock second across one epoch's forward
     # solves (each train step advances `batch_size` per-sample integrations).
     solver_steps_per_sec = n_accepted * steps_per_epoch / epoch_seconds

@@ -18,7 +18,8 @@ from . import common
 
 
 def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eval_config,
-        num_flows=4, mc_size=50, arg_itr=None, curve_path=None, events_path=None):
+        num_flows=4, mc_size=50, arg_itr=None, curve_path=None, events_path=None,
+        val_criterion="forecast"):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
 
@@ -46,7 +47,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
             test_freq=optim_config.test_freq, key=k_train, path=path,
             best_on_disk=best_on_disk, early_stop=optim_config.early_stop,
             shuffle=optim_config.shuffle,
-            val_criterion="forecast", val_t0=eval_config.t0,
+            val_criterion=val_criterion, val_t0=eval_config.t0,
             curve_path=curve_path, events_path=events_path,
         )
 
@@ -76,6 +77,9 @@ def main(argv=None):
     parser.add_argument("--data_path", default="data/datafile_dose_exp.pkl", type=str)
     parser.add_argument("--num_flows", default=4, type=int)
     parser.add_argument("--mc_size", default=50, type=int)
+    parser.add_argument("--val_criterion", choices=["forecast", "elbo"], default="forecast", type=str,
+                        help="model-selection rule: full-sequence val-ELBO (reference "
+                             "training_utils.py:56-80) or t0-forecast RMSE")
     parser.add_argument("--curve_path", default=None, type=str,
                         help="write iter,val_loss,train_loss CSV (exp_flow.csv format)")
     parser.add_argument("--events_path", default=None, type=str,
@@ -86,7 +90,8 @@ def main(argv=None):
     optim_config = OptimConfig(shuffle=False, n_restart=args.restart, batch_size=args.batch_size, lr=args.lr)
     run(args.seed, args.eval == "y", args.data_path, args.sample, data_config, args.path,
         optim_config, EvalConfig(t0=args.t0), args.num_flows, args.mc_size, args.arg_itr,
-        curve_path=args.curve_path, events_path=args.events_path)
+        curve_path=args.curve_path, events_path=args.events_path,
+        val_criterion=args.val_criterion)
 
 
 if __name__ == "__main__":

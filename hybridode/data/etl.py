@@ -24,11 +24,13 @@ import numpy as np
 import pandas as pd
 
 
-def filter_los_cohort(df: pd.DataFrame, min_los: float = 50, max_los: float = 500) -> pd.DataFrame:
-    """Keep patients whose length of stay (max recorded hour) lies in
-    [min_los, max_los] — the reference's LOS cohort filter."""
+def filter_los_cohort(df: pd.DataFrame, min_los: float = 72, max_los: float = 744) -> pd.DataFrame:
+    """Keep patients whose length of stay (max recorded hour, a proxy for the
+    admission->discharge delta) lies in the half-open window
+    [min_los, max_los). Defaults match the reference's 3 <= LOS < 31 days
+    cohort rule (real_data/temporal_feat.py:16-19) expressed in hours."""
     los = df.groupby("patient_id")["hour"].max()
-    keep = los[(los >= min_los) & (los <= max_los)].index
+    keep = los[(los >= min_los) & (los < max_los)].index
     return df[df["patient_id"].isin(keep)].copy()
 
 
@@ -65,11 +67,12 @@ def build_temporal_arrays(
     d = d[d["feature"].isin(fpos)]
     agg = d.groupby(["bucket", "patient_id", "feature"])["value"].median()
 
-    ti = agg.index.get_level_values("bucket").to_numpy()
-    pi = pos[agg.index.get_level_values("patient_id")].to_numpy()
-    fi = np.array([fpos[f] for f in agg.index.get_level_values("feature")])
-    x[ti, pi, fi] = agg.to_numpy(np.float32)
-    mask[ti, pi, fi] = 1.0
+    if len(agg):
+        ti = agg.index.get_level_values("bucket").to_numpy()
+        pi = pos[agg.index.get_level_values("patient_id")].to_numpy()
+        fi = np.array([fpos[f] for f in agg.index.get_level_values("feature")], dtype=np.intp)
+        x[ti, pi, fi] = agg.to_numpy(np.float32)
+        mask[ti, pi, fi] = 1.0
 
     if normalize:
         for j in range(k):
@@ -127,8 +130,8 @@ def run_etl(
     t_max: int,
     out_dir: str,
     data_type: str = "5",
-    min_los: float = 50,
-    max_los: float = 500,
+    min_los: float = 72,
+    max_los: float = 744,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
     """Full pipeline: LOS filter -> arrays -> the four RealCohort pickles."""
     kept = filter_los_cohort(temporal, min_los=min_los, max_los=max_los)

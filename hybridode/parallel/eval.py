@@ -156,6 +156,11 @@ def evaluate_sharded(
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by the data mesh axis ({n_data}); "
+            "sharded eval chunks must split evenly over devices")
     expert_dim = data_generator.expert_dim
     chunk_fn = make_sharded_eval_chunk(model, mesh, t0, mc_itr, expert_dim)
     data_sharding = jax.sharding.NamedSharding(mesh, P(None, "data", None))

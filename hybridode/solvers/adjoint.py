@@ -72,11 +72,11 @@ def _integrate_record(field, y0, ts, args, rtol, atol, max_steps, max_record, ba
         barriers_arr = jnp.asarray(barriers, dtype)
 
     def cond(carry):
-        (t, y, f, h, out, n_trial, n_acc, finished, *_rest) = carry
+        (t, y, f, h, out, n_trial, n_acc, n_rec, finished, *_rest) = carry
         return (~finished) & (n_trial < max_steps)
 
     def body(carry):
-        t, y, f, h, out, n_trial, n_acc, finished, rec_t, rec_h, rec_tn, rec_y = carry
+        t, y, f, h, out, n_trial, n_acc, n_rec, finished, rec_t, rec_h, rec_tn, rec_y = carry
 
         if barriers is not None:
             ahead = barriers_arr > t + 1e-6
@@ -101,29 +101,31 @@ def _integrate_record(field, y0, ts, args, rtol, atol, max_steps, max_record, ba
         h_next = _next_h(h_eff, norm, accept)
         alive = ~finished
         take = accept & alive
-        record = take & (n_acc < max_record)
+        record = take & (n_rec < max_record)
 
-        rec_t = _write_at(rec_t, n_acc, t, record)
-        rec_h = _write_at(rec_h, n_acc, h_eff, record)
-        rec_tn = _write_at(rec_tn, n_acc, t_new, record)
-        rec_y = _write_at(rec_y, n_acc, y, record)
+        rec_t = _write_at(rec_t, n_rec, t, record)
+        rec_h = _write_at(rec_h, n_rec, h_eff, record)
+        rec_tn = _write_at(rec_tn, n_rec, t_new, record)
+        rec_y = _write_at(rec_y, n_rec, y, record)
 
         t = jnp.where(take, t_new, t)
         y = jnp.where(take, y1, y)
         f = jnp.where(take, f1, f)
         h = jnp.where(alive, h_next, h)
         n_trial = n_trial + jnp.where(alive, 1, 0)
-        n_acc = n_acc + jnp.where(record, 1, 0)
+        n_acc = n_acc + jnp.where(take, 1, 0)
+        n_rec = n_rec + jnp.where(record, 1, 0)
         finished = finished | (take & last_step)
 
-        return (t, y, f, h, out, n_trial, n_acc, finished, rec_t, rec_h, rec_tn, rec_y)
+        return (t, y, f, h, out, n_trial, n_acc, n_rec, finished, rec_t, rec_h, rec_tn, rec_y)
 
     carry0 = (
         t0, y0, f0, h_init, out0,
-        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
         rec_t0, rec_h0, rec_tn0, rec_y0,
     )
-    (t, y, f, h, out, n_trial, n_acc, finished, rec_t, rec_h, rec_tn, rec_y) = (
+    (t, y, f, h, out, n_trial, n_acc, n_rec, finished, rec_t, rec_h, rec_tn, rec_y) = (
         jax.lax.while_loop(cond, body, carry0)
     )
 
@@ -131,8 +133,9 @@ def _integrate_record(field, y0, ts, args, rtol, atol, max_steps, max_record, ba
         n_steps=n_trial,
         n_accepted=n_acc,
         success=finished & jnp.all(jnp.isfinite(out)),
+        recorded_all=n_rec == n_acc,
     )
-    return out, stats, (rec_t, rec_h, rec_tn, rec_y, n_acc)
+    return out, stats, (rec_t, rec_h, rec_tn, rec_y, n_rec)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8))
@@ -147,7 +150,7 @@ def _fwd(field, y0, ts, args, rtol, atol, max_steps, max_record, barriers):
 
 
 def _bwd(field, rtol, atol, max_steps, max_record, barriers, res, cts):
-    y0, ts, args, (rec_t, rec_h, rec_tn, rec_y, n_acc) = res
+    y0, ts, args, (rec_t, rec_h, rec_tn, rec_y, n_rec) = res
     out_bar, _stats_bar = cts  # stats are integer/bool: no cotangent
 
     def step_vjp(carry, rec):
@@ -175,7 +178,7 @@ def _bwd(field, rtol, atol, max_steps, max_record, barriers, res, cts):
         return (y_bar, args_bar), None
 
     args_bar0 = jax.tree_util.tree_map(jnp.zeros_like, args)
-    valid = jnp.arange(max_record) < n_acc
+    valid = jnp.arange(max_record) < n_rec
     recs = (rec_t, rec_h, rec_tn, rec_y, valid)
     # Every grid point (ts[-1] included) is filled via the dense polynomial,
     # so the state cotangent starts at zero and accumulates from dense_ct.
@@ -205,8 +208,9 @@ def odeint_dopri5_adjoint(
 
     `max_record` bounds the number of accepted steps kept for the backward
     pass (defaults to `max_steps`). If the integration accepts more steps
-    than `max_record`, gradients silently exclude the overflow steps —
-    size it at the observed per-trajectory accepted count plus margin.
+    than `max_record`, gradients exclude the overflow steps and the returned
+    `stats.recorded_all` is False — size the buffer at the observed
+    per-trajectory accepted count plus margin and check the flag.
     """
     if max_record is None:
         max_record = max_steps

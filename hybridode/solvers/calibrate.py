@@ -11,6 +11,12 @@ convergence with unbounded Python control flow, which XLA cannot compile.
 Calibration = probe the per-sample trial-step demand once on a
 representative batch at a generous budget, then round margin * max-demand up
 to the solver's chunk size.
+
+A later batch whose demand exceeds margin * probe-max is NOT silent during
+training: unfinished lanes leave NaN in the solution (dopri5 budget
+exhaustion), the loss goes non-finite, and the training loop's finite-loss
+gate stops the restart (inference/train.py). Standalone callers should check
+`stats.success` themselves.
 """
 
 from __future__ import annotations

@@ -46,6 +46,11 @@ class Dopri5Stats(NamedTuple):
     n_steps: jnp.ndarray  # total trial steps taken
     n_accepted: jnp.ndarray  # accepted steps
     success: jnp.ndarray  # reached ts[-1] within max_steps, all finite
+    # False only on the adjoint path when more steps were accepted than the
+    # `max_record` buffer holds — the backward pass then silently excludes
+    # the overflow steps, so gradients are truncated. Always True for the
+    # bounded-scan integrator (which differentiates every step).
+    recorded_all: jnp.ndarray = True
 
 
 def _rms_norm(x: jnp.ndarray) -> jnp.ndarray:

@@ -139,6 +139,28 @@ class TestAdjoint:
         for a, b in zip(g_adj[1], g_scan[1]):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
 
+    def test_max_record_overflow_flagged(self):
+        # When the record buffer is smaller than the accepted-step count the
+        # backward pass drops the overflow steps: stats.recorded_all must be
+        # False (and n_accepted must still report the TRUE accepted count).
+        from hybridode.solvers import odeint_dopri5, odeint_dopri5_adjoint
+
+        y0 = jnp.array([[1.0, 2.0]])
+        _, st_full = odeint_dopri5(exp_decay, y0, TS, 0.7, rtol=1e-7, atol=1e-9)
+        n_acc = int(st_full.n_accepted)
+        assert n_acc > 3
+        assert bool(st_full.recorded_all)  # scan path: always True
+
+        ys, st = odeint_dopri5_adjoint(exp_decay, y0, TS, 0.7, rtol=1e-7, atol=1e-9,
+                                       max_record=3)
+        assert not bool(st.recorded_all)
+        assert int(st.n_accepted) == n_acc
+        assert bool(st.success)  # forward solution itself is unaffected
+
+        _, st_ok = odeint_dopri5_adjoint(exp_decay, y0, TS, 0.7, rtol=1e-7, atol=1e-9,
+                                         max_record=n_acc)
+        assert bool(st_ok.recorded_all)
+
     def test_grad_analytic(self):
         from hybridode.solvers import odeint_dopri5_adjoint
 
