@@ -117,8 +117,13 @@ def parent() -> int:
 
     out = os.path.join(REPO, "results", "dp_scaling.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    note = ("Correctness artifact, not a throughput benchmark: measured on a 1-core host with "
+            "8 VIRTUAL CPU devices (xla_force_host_platform_device_count), so samples_per_sec "
+            "DEGRADES with device count by construction. The point is the loss columns: "
+            "bit-stable loss equality at 1/2/4/8 devices proves the DP sharding is "
+            "step-for-step equivalent to single-device training.")
     with open(out, "w") as f:
-        json.dump({"results": results, "loss_equal": True}, f, indent=1)
+        json.dump({"results": results, "loss_equal": True, "note": note}, f, indent=1)
     print(f"wrote {out}")
     return 0
 

@@ -9,7 +9,7 @@
 # CSV tail (so an interrupted sweep picks up where it left off); the OUT
 # summary is rebuilt from the logs at the end.
 #
-# Usage: SEEDS="666 123 42" bash experiments/parity_elbo.sh [fig3|dim]
+# Usage: SEEDS="666 123 42" bash experiments/parity_elbo.sh [fig3|dim|noise]
 set -e
 cd "$(dirname "$0")/.."
 TRAIN=data/datafile_dose_exp.pkl
@@ -45,6 +45,42 @@ if [ "$WHICH" = "fig3" ]; then
         if done_log "$ELOG"; then
           echo "# seed=$SEED sample=$SAMPLE method=$METHOD" >> "$OUT"
           tail -n 4 "$ELOG" >> "$OUT"
+        fi
+      done
+    done
+  done
+  echo "wrote $OUT"
+elif [ "$WHICH" = "noise" ]; then
+  # Noise 0.4/0.8 track under the reference run_noise_level.sh protocol
+  # (sample_total=1200, batch_size=10, in-pickle test fold, flow included)
+  # + the elbo selection criterion.
+  OUT=results/results_noise_elbo.txt
+  for SEED in $SEEDS; do
+    for NL in 0.4 0.8; do
+      DATA=data/datafile_dose_noise_${NL}.pkl
+      for METHOD in neural expert hybrid; do
+        LOG=results/elbo_${METHOD}_noise${NL}_s${SEED}.txt
+        if done_log "$LOG"; then echo "skip $METHOD noise$NL s$SEED (done)"; continue; fi
+        python -m hybridode.cli.run_simulation --method=$METHOD --sample=1200 \
+          --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
+          --path=model/elbo_s${SEED}_noise${NL}_ --data_path=$DATA > "$LOG"
+      done
+      LOG=results/elbo_flow_noise${NL}_s${SEED}.txt
+      if done_log "$LOG"; then echo "skip flow noise$NL s$SEED (done)"; else
+        python -m hybridode.cli.run_simulation_flow --sample=1200 \
+          --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
+          --path=model/elbo_s${SEED}_noise${NL}f_ --data_path=$DATA > "$LOG"
+      fi
+    done
+  done
+  : > "$OUT"
+  for SEED in $SEEDS; do
+    for NL in 0.4 0.8; do
+      for METHOD in neural expert hybrid flow; do
+        LOG=results/elbo_${METHOD}_noise${NL}_s${SEED}.txt
+        if done_log "$LOG"; then
+          echo "# seed=$SEED noise=$NL method=$METHOD" >> "$OUT"
+          tail -n 4 "$LOG" >> "$OUT"
         fi
       done
     done

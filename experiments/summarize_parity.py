@@ -28,6 +28,13 @@ REF_DIM = {
     ("neural", "dim8"): 0.8470, ("expert", "dim8"): 0.8229, ("hybrid", "dim8"): 0.7510,
     ("neural", "dim12"): 0.8371, ("expert", "dim12"): 0.9217, ("hybrid", "dim12"): 0.7965,
 }
+# results/results_noise.txt rmse_x rows (incl. the flow model).
+REF_NOISE = {
+    ("neural", "0.4"): 0.8092, ("expert", "0.4"): 0.8991, ("hybrid", "0.4"): 0.6808,
+    ("flow", "0.4"): 0.7622,
+    ("neural", "0.8"): 1.0048, ("expert", "0.8"): 0.9430, ("hybrid", "0.8"): 0.8499,
+    ("flow", "0.8"): 0.9267,
+}
 
 
 def parse(path, group_key):
@@ -49,11 +56,10 @@ def parse(path, group_key):
     return cells
 
 
-def table(cells, ref, groups, title):
+def table(cells, ref, groups, title, methods=("neural", "expert", "hybrid")):
     if not cells:
         return
     print(f"\n## {title} (rmse_x, mean +/- seed-SD over seeds; reference committed value)\n")
-    methods = ["neural", "expert", "hybrid"]
     print("| method | " + " | ".join(f"{g} (ours/ref)" for g in groups) + " |")
     print("|---|" + "---|" * len(groups))
     wins = 0
@@ -85,6 +91,9 @@ def main():
           REF_SAMPLE, ["310", "400", "800"], "Fig3 sample sweep, val_criterion=elbo")
     table(parse(os.path.join(RESULTS, "results_dim_elbo.txt"), "dim"),
           REF_DIM, ["dim8", "dim12"], "Dim sweep, val_criterion=elbo")
+    table(parse(os.path.join(RESULTS, "results_noise_elbo.txt"), "noise"),
+          REF_NOISE, ["0.4", "0.8"], "Noise sweep, val_criterion=elbo",
+          methods=("neural", "expert", "hybrid", "flow"))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ def build_sim_model(
     atol: float = 1e-8,
     flow: bool = False,
     num_flows: int = 4,
+    lockstep: bool = False,
 ) -> VIModel:
     """expert / neural / hybrid -> VIModel (run_simulation.py:79-115).
 
@@ -66,8 +67,13 @@ def build_sim_model(
         # Roche fields run per-sample adaptive control (max ~112 steps per
         # patient + rejections); the smooth neural field needs ~25 lockstep
         # steps and keeps the generous default budget (early exit makes
-        # unused budget nearly free under lockstep).
-        max_steps = 256 if roche else 512
+        # unused budget nearly free under lockstep). A lockstep Roche solve
+        # shares one controller across the batch, so its demand is the
+        # batch-WORST trajectory plus the union of rejections — it runs on
+        # the while_loop adjoint (budget is a runtime bound there, so a
+        # generous cap is free; the bounded scan's compile time would scale
+        # with it).
+        max_steps = (4096 if lockstep else 256) if roche else 512
 
     hidden = int(obs * 2.0)  # encoder_latent_ratio=2.0 (sim_config.py:42)
     if flow:
@@ -86,7 +92,13 @@ def build_sim_model(
         max_steps=max_steps,
         rtol=rtol,
         atol=atol,
-        per_sample_control=roche,
+        # Per-sample adaptive control is the TPU-native default for the stiff
+        # Roche field; `lockstep` forces the reference's one-controller-per-
+        # batch schedule (torchdiffeq semantics) for step-space parity A/Bs,
+        # implemented on the while_loop adjoint solver (use_adjoint).
+        per_sample_control=roche and not lockstep,
+        use_adjoint=roche and lockstep,
+        max_record=1024 if (roche and lockstep) else None,
     )
     return VIModel(
         kind="flow" if flow else "sim",

@@ -51,7 +51,7 @@ def _predict(params, model, data, t0, expert_quirk: bool):
 
 def run(seed=666, train_sample_size=None, ode_method="explicit_adams", ode_step_div=1,
         encoder_output_dim=20, encoder_latent_ratio=1.2, init_path="model/",
-        data_path="data/", standin=False):
+        data_path="data/", standin=False, expert_actions_quirk=True):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
 
@@ -73,7 +73,8 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", ode_step_
     # Learn ensemble weights on the val fold (run_real_ensemble.py:89-117):
     # the reference encodes the FULL sequence here (not just [:t0]).
     val = dg.data_val
-    x_hat_e = _predict(params_e, model_e, val, val["measurements"].shape[0], expert_quirk=True)
+    x_hat_e = _predict(params_e, model_e, val, val["measurements"].shape[0],
+                       expert_quirk=expert_actions_quirk)
     x_hat_m = _predict(params_m, model_m, val, val["measurements"].shape[0], expert_quirk=False)
 
     x_post = val["measurements"][t0:]  # (T', B, D)
@@ -88,7 +89,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", ode_step_
     print("Ensemble weights learned.")
 
     data = dg.data_test
-    x_hat1 = _predict(params_e, model_e, data, t0, expert_quirk=True)
+    x_hat1 = _predict(params_e, model_e, data, t0, expert_quirk=expert_actions_quirk)
     x_hat2 = _predict(params_m, model_m, data, t0, expert_quirk=False)
     x_hat = x_hat1 * weights_e + x_hat2 * weights_m
 
@@ -114,12 +115,17 @@ def main(argv=None):
     parser.add_argument("--sample", default=None, type=int)
     parser.add_argument("--data_path", default="data/", type=str)
     parser.add_argument("--standin", default="n", type=str)
+    parser.add_argument("--expert_actions_quirk", choices=["y", "n"], default="y", type=str,
+                        help="y (reference parity): the expert member decodes with [a, s] "
+                             "concatenated as its action array (run_real_ensemble.py:98-101); "
+                             "n: plain dose actions")
     args = parser.parse_args(argv)
 
     run(seed=args.seed, train_sample_size=args.sample, ode_method=args.ode_method,
         ode_step_div=args.ode_step_div, encoder_output_dim=args.encoder_output_dim,
         encoder_latent_ratio=args.encoder_latent_ratio, init_path=args.init_path,
-        data_path=args.data_path, standin=args.standin == "y")
+        data_path=args.data_path, standin=args.standin == "y",
+        expert_actions_quirk=args.expert_actions_quirk == "y")
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ MULTIPLIER = 0.1  # run_real_residual.py:100
 
 def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=1500, ode_step_div=1,
         encoder_output_dim=20, encoder_latent_ratio=1.2, init_path="model/",
-        data_path="data/", standin=False, model_dir="model/"):
+        data_path="data/", standin=False, model_dir="model/", expert_actions_quirk=True):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
 
@@ -47,7 +47,8 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=15
     # the expert here encodes the FULL sequence and decodes with [a, s] as
     # actions — the same quirk as the ensemble CLI.
     train = dg.data_train
-    x_hat = _predict(params_e, model_e, train, train["measurements"].shape[0], expert_quirk=True)
+    x_hat = _predict(params_e, model_e, train, train["measurements"].shape[0],
+                     expert_quirk=expert_actions_quirk)
     x = train["measurements"]
     residual = x.at[t0:].set(x[t0:] - x_hat * MULTIPLIER)
     dg.data_train = dict(dg.data_train)
@@ -71,7 +72,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=15
     )
 
     data = dg.data_test
-    x_hat1 = _predict(params_e, model_e, data, t0, expert_quirk=True)
+    x_hat1 = _predict(params_e, model_e, data, t0, expert_quirk=expert_actions_quirk)
     x_hat2 = _predict(params_ml, model_ml, data, t0, expert_quirk=False)
     x_hat = x_hat1 * MULTIPLIER + x_hat2
 
@@ -96,12 +97,17 @@ def main(argv=None):
     parser.add_argument("--sample", default=None, type=int)
     parser.add_argument("--data_path", default="data/", type=str)
     parser.add_argument("--standin", default="n", type=str)
+    parser.add_argument("--expert_actions_quirk", choices=["y", "n"], default="y", type=str,
+                        help="y (reference parity): the expert residualizer decodes with [a, s] "
+                             "as actions — the committed reference pipeline diverges through "
+                             "this (VALIDATION.md); n: plain dose actions (bounded residuals)")
     args = parser.parse_args(argv)
 
     run(seed=args.seed, train_sample_size=args.sample, ode_method=args.ode_method, niters=args.niters,
         ode_step_div=args.ode_step_div, encoder_output_dim=args.encoder_output_dim,
         encoder_latent_ratio=args.encoder_latent_ratio, init_path=args.init_path,
-        data_path=args.data_path, standin=args.standin == "y")
+        data_path=args.data_path, standin=args.standin == "y",
+        expert_actions_quirk=args.expert_actions_quirk == "y")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,7 @@ def run(
     events_path: str | None = None,
     dp_devices: int | None = None,
     eval_mesh: tuple[int, int] | None = None,
+    lockstep: bool = False,
 ):
     common.enable_compile_cache()
     key = jax.random.PRNGKey(seed)
@@ -54,6 +55,7 @@ def run(
         elbo=elbo,
         ode_method=optim_config.ode_method,
         ablate=ablate,
+        lockstep=lockstep,
     )
 
     niters = optim_config.niters if arg_itr is None else arg_itr
@@ -137,6 +139,11 @@ def build_parser():
                         help="write iter,val_loss,train_loss CSV (exp_lhm.csv format)")
     parser.add_argument("--events_path", default=None, type=str,
                         help="append JSONL training events")
+    parser.add_argument("--step_control", choices=["per_sample", "lockstep"], default="per_sample",
+                        type=str,
+                        help="adaptive step controller granularity: per-sample (TPU-native "
+                             "default) or lockstep (one controller per batch, torchdiffeq "
+                             "semantics — for step-space parity A/Bs)")
     parser.add_argument("--dp", default=0, type=int,
                         help="data-parallel device count (0/1 = single device)")
     parser.add_argument("--eval_mesh", default=None, type=str,
@@ -168,6 +175,7 @@ def main(argv=None):
         events_path=args.events_path,
         dp_devices=args.dp if args.dp > 1 else None,
         eval_mesh=tuple(int(x) for x in args.eval_mesh.split("x")) if args.eval_mesh else None,
+        lockstep=args.step_control == "lockstep",
     )
 
 

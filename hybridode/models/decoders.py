@@ -111,27 +111,44 @@ def sim_decoder_apply(params, spec: SimDecoderSpec, init, actions):
     field = roche_field if spec.roche else neural_field
     ts = jnp.asarray(spec.ts)
 
-    if spec.per_sample_control and spec.method in ("dopri5",):
+    if spec.method == "dopri5" and (spec.per_sample_control or spec.use_adjoint):
         from ..solvers import odeint_dopri5, odeint_dopri5_adjoint
 
         solver = odeint_dopri5_adjoint if spec.use_adjoint else odeint_dopri5
         extra = {"max_record": spec.max_record} if spec.use_adjoint else {}
-        CtxType = type(ctx)
+        if spec.per_sample_control:
+            CtxType = type(ctx)
 
-        def solve_one(z_i, times_i, amounts_i):
-            ys, _ = solver(
+            def solve_one(z_i, times_i, amounts_i):
+                ys, _ = solver(
+                    field,
+                    z_i,
+                    ts,
+                    (params["ode"], CtxType(times=times_i, amounts=amounts_i)),
+                    rtol=spec.rtol,
+                    atol=spec.atol,
+                    max_steps=spec.max_steps,
+                    **extra,
+                )
+                return ys  # (T, D)
+
+            h = jax.vmap(solve_one, in_axes=(0, 0, 0), out_axes=1)(init, ctx.times, ctx.amounts)
+        else:
+            # Batched lockstep via the while_loop adjoint: ONE error-norm
+            # controller for the whole (B, D) state — exactly torchdiffeq's
+            # batched-dopri5 semantics (reference model.py:1116-1118) — and,
+            # unlike the bounded-scan path, the trial budget doesn't inflate
+            # compile time (while_loop bounds are runtime values).
+            h, _ = solver(
                 field,
-                z_i,
+                init,
                 ts,
-                (params["ode"], CtxType(times=times_i, amounts=amounts_i)),
+                (params["ode"], ctx),
                 rtol=spec.rtol,
                 atol=spec.atol,
                 max_steps=spec.max_steps,
                 **extra,
             )
-            return ys  # (T, D)
-
-        h = jax.vmap(solve_one, in_axes=(0, 0, 0), out_axes=1)(init, ctx.times, ctx.amounts)
     else:
         # Measured: barrier-clipping at the dose grid costs MORE steps here
         # (280 -> 465) — the controller absorbs the depot jumps cheaply and

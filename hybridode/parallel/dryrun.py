@@ -64,6 +64,61 @@ def fake_batch(model, B: int, T: int = 15, key=None):
     }
 
 
+def real_flagship(n_devices: int):
+    """Tiny real-track model: RocheODEReal hybrid (learned dx1/dx2 + CT-GRU
+    remainder) decoded with the fixed-step explicit_adams path — the
+    reference's run_real regime (model.py:836-857 analog) on dryrun shapes."""
+    import jax
+
+    from hybridode.cli.common import build_real_model
+    from hybridode.inference import init_vi
+
+    model = build_real_model(
+        "hybrid", obs_dim=6, action_dim=1, static_dim=3, t_max=12, step_size=1.0,
+        encoder_output_dim=5, encoder_latent_ratio=1.0, ode_method="explicit_adams",
+        ode_step_div=1, t0=4,
+    )
+    params = init_vi(jax.random.PRNGKey(10), model)
+    return model, params
+
+
+def fake_real_batch(model, B: int, T: int = 12, key=None):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(11) if key is None else key
+    spec = model.decoder_spec
+    k1, k2, k3 = jax.random.split(key, 3)
+    actions = jnp.zeros((T, B, spec.action_dim)).at[2, :, 0].set(1.0)
+    return {
+        "measurements": 0.1 * jax.random.normal(k1, (T, B, spec.obs_dim)),
+        "actions": actions,
+        "masks": (jax.random.uniform(k2, (T, B, spec.obs_dim)) > 0.4).astype(jnp.float32),
+        "statics": jnp.broadcast_to(
+            jax.random.normal(k3, (1, B, spec.static_dim)), (T, B, spec.static_dim)
+        ).astype(jnp.float32),
+    }
+
+
+def _dp_step(model, params, batch, mesh, seed):
+    """Shared DP plumbing: replicate, shard, one jitted train step."""
+    import jax
+    import numpy as np
+
+    from hybridode.inference import make_optimizer
+    from hybridode.parallel import make_dp_train_step, replicate, shard_batch
+
+    optimizer = make_optimizer(0.01, params)
+    opt_state = optimizer.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(batch, mesh)
+    step = make_dp_train_step(model, optimizer, mesh)
+    params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(seed))
+    jax.block_until_ready(loss)
+    return float(loss)
+
+
 def run(n_devices: int) -> float:
     """One full DP training step over an n-device mesh on tiny shapes.
 
@@ -122,7 +177,61 @@ def run(n_devices: int) -> float:
         for r, g in zip(ref, got):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6)
         print(f"dryrun 2D mesh ({n_devices // 2}x2 data x mc) eval parity OK")
+
+    # Real-data track: DP train step on the fixed-step explicit_adams decoder
+    # (reference model.py:836-857 analog — RocheODEReal + CT-GRU remainder,
+    # rank-3 per-interval solve), same mesh/sharding as the sim step.
+    model_r, params_r = real_flagship(n_devices)
+    loss_r = _dp_step(model_r, params_r, fake_real_batch(model_r, B=2 * n_devices), mesh, seed=5)
+    assert np.isfinite(loss_r), "real-track DP train step produced non-finite loss"
+    print(f"dryrun real-track DP step: loss={loss_r:.4f} OK")
+
+    # Flow model (LHM-NF): DP train step on the planar-flow posterior
+    # (reference model.py:1299-1380 analog), plus 2-D sharded-eval parity.
+    import jax.numpy as jnp
+
+    from hybridode.cli.common import build_sim_model
+    from hybridode.inference import init_vi
+
+    model_f = build_sim_model("hybrid", _tiny_dim8(), elbo=True, max_steps=192,
+                              rtol=1e-4, atol=1e-6, flow=True, num_flows=2, mc_size=2)
+    params_f = init_vi(jax.random.PRNGKey(12), model_f)
+    # Same posterior pinning as the sim step: point mu at the physical regime
+    # (the flow encoder's mu head feeds exp(z-5), so 0-bias already lands at
+    # e^-5 ~ 0.007; just shrink the variance head).
+    encf = params_f["encoder"]
+    if "log_var" in encf:
+        encf["log_var"] = jax.tree_util.tree_map(jnp.zeros_like, encf["log_var"])
+        encf["log_var"]["b"] = encf["log_var"]["b"] - 5.0
+    batch_f = fake_batch(model_f, B=2 * n_devices, T=15)
+    loss_f = _dp_step(model_f, params_f, batch_f, mesh, seed=6)
+    assert np.isfinite(loss_f), "flow DP train step produced non-finite loss"
+    print(f"dryrun flow DP step: loss={loss_f:.4f} OK")
+
+    if n_devices % 2 == 0:
+        from hybridode.eval.metrics import _eval_chunk
+        from hybridode.parallel import make_mesh_2d, make_sharded_eval_chunk
+
+        mesh2 = make_mesh_2d(n_devices // 2, 2)
+        t0, mc_itr, expert_dim = 5, 4, 4
+        params_host = jax.device_get(params_f)
+        chunk_fn = make_sharded_eval_chunk(model_f, mesh2, t0, mc_itr, expert_dim)
+        got = chunk_fn(params_host, batch_f, jax.random.PRNGKey(13))
+        ref = _eval_chunk(params_host, model_f, batch_f, t0, mc_itr, expert_dim,
+                          jax.random.PRNGKey(13))
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6)
+        print(f"dryrun 2D mesh flow eval parity OK")
     return loss
+
+
+def _tiny_dim8():
+    """dim8 config shrunk to dryrun size (obs 10) — compile-time bounded."""
+    import dataclasses
+
+    from hybridode.config import dim8_config
+
+    return dataclasses.replace(dim8_config, obs_dim=10)
 
 
 def main(argv=None) -> int:

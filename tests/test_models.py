@@ -213,6 +213,37 @@ class TestDecoders:
             g_adj, g_scan,
         )
 
+    def test_sim_decoder_lockstep_adjoint_matches_scan(self):
+        # Batched lockstep (one controller per batch, torchdiffeq semantics,
+        # model.py:1116-1118): the while_loop-adjoint implementation must
+        # match the bounded-scan lockstep solver in values and gradients.
+        B, obs, latent = 3, 8, 6
+        base = dict(obs_dim=obs, latent_dim=latent, action_dim=1, t_max=14, step_size=1,
+                    roche=True, max_steps=512, per_sample_control=False)
+        spec_scan = SimDecoderSpec(**base, use_adjoint=False)
+        spec_adj = SimDecoderSpec(**base, use_adjoint=True, max_record=256)
+        p = init_sim_decoder(jax.random.PRNGKey(0), spec_scan)
+        init = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (B, latent))) * 0.01
+        actions = jnp.zeros((15, B, 1)).at[3, :, 0].set(0.5)
+
+        x_scan, _ = sim_decoder_apply(p, spec_scan, init, actions)
+        x_adj, _ = sim_decoder_apply(p, spec_adj, init, actions)
+        np.testing.assert_allclose(np.asarray(x_adj), np.asarray(x_scan), rtol=1e-5, atol=1e-6)
+
+        def loss(spec):
+            def f(p, init):
+                x, _ = sim_decoder_apply(p, spec, init, actions)
+                return jnp.sum(x**2)
+
+            return f
+
+        g_scan = jax.grad(loss(spec_scan), argnums=(0, 1))(p, init)
+        g_adj = jax.grad(loss(spec_adj), argnums=(0, 1))(p, init)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
+            g_adj, g_scan,
+        )
+
     def test_sim_decoder_names(self):
         assert SimDecoderSpec(20, 6, 1, 14, 1, roche=True).model_name == "HybridDecoder"
         assert SimDecoderSpec(20, 6, 1, 14, 1, roche=False).model_name == "NeuralODEDecoder"
