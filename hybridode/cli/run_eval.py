@@ -16,13 +16,14 @@ from ..config import EvalConfig, OptimConfig
 from ..data import SyntheticCohort
 from ..eval import evaluate_horizon
 from ..inference import load_checkpoint
+from ..utils.hostrng import host_key, host_split
 from . import common
 
 
 def run(seed, data_path, data_config, model_method, path, optim_config, eval_config,
         encoder_output_dim=None, result_path=None):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     dg = SyntheticCohort.load(data_path)
     model = common.build_sim_model(model_method, data_config, encoder_output_dim=encoder_output_dim,

@@ -22,6 +22,7 @@ from ..data import RealCohort, make_real_standin
 from ..eval.metrics import bootstrap_rmse
 from ..inference import init_vi, load_checkpoint, variational_training_loop
 from ..inference.elbo import decode, encode
+from ..utils.hostrng import host_key, host_split
 from . import common
 
 
@@ -68,7 +69,7 @@ def run(
     model_dir="model/",
 ):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     if standin:
         make_real_standin(data_path, data_type="5", **(standin_kwargs or {}))
@@ -86,7 +87,7 @@ def run(
 
     path = model_dir if train_sample_size is None else model_dir + str(train_sample_size)
 
-    key, k_init, k_train = jax.random.split(key, 3)
+    key, k_init, k_train = host_split(key, 3)
     params = init_vi(k_init, model)
     if not eval_only:
         params, _, _ = variational_training_loop(

@@ -20,6 +20,7 @@ from ..data import RealCohort, make_real_standin
 from ..ensembles.nnls import nnls2
 from ..inference import init_vi, load_checkpoint
 from ..inference.elbo import decode, encode
+from ..utils.hostrng import host_key, host_split
 from . import common
 from .run_real import horizon_report
 
@@ -53,7 +54,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", ode_step_
         encoder_output_dim=20, encoder_latent_ratio=1.2, init_path="model/",
         data_path="data/", standin=False, expert_actions_quirk=True):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     if standin:
         make_real_standin(data_path, data_type="5")
@@ -64,7 +65,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", ode_step_
         init_path = init_path + str(train_sample_size)
 
     t0 = 24
-    k1, k2 = jax.random.split(key)
+    k1, k2 = host_split(key)
     params_e, model_e = init_and_load(dg, 4, encoder_latent_ratio, ode_step_div, "expert",
                                       ode_method, init_path, k1, t0)
     params_m, model_m = init_and_load(dg, encoder_output_dim, encoder_latent_ratio, ode_step_div,

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..data import RealCohort, make_real_standin
 from ..inference import init_vi, variational_training_loop
+from ..utils.hostrng import host_key, host_split
 from . import common
 from .run_real import horizon_report
 from .run_real_ensemble import _predict, init_and_load
@@ -28,7 +29,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=15
         encoder_output_dim=20, encoder_latent_ratio=1.2, init_path="model/",
         data_path="data/", standin=False, model_dir="model/", expert_actions_quirk=True):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     if standin:
         make_real_standin(data_path, data_type="5")
@@ -39,7 +40,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=15
         init_path = init_path + str(train_sample_size)
 
     t0 = 24
-    key, k_e = jax.random.split(key)
+    key, k_e = host_split(key)
     params_e, model_e = init_and_load(dg, 4, encoder_latent_ratio, ode_step_div, "expert",
                                       ode_method, init_path, k_e, t0)
 
@@ -58,7 +59,7 @@ def run(seed=666, train_sample_size=None, ode_method="explicit_adams", niters=15
 
     path = model_dir if train_sample_size is None else model_dir + str(train_sample_size)
 
-    key, k_init, k_train = jax.random.split(key, 3)
+    key, k_init, k_train = host_split(key, 3)
     model_ml = common.build_real_model(
         "gruode", dg.obs_dim, dg.action_dim, dg.static_dim, dg.t_max, dg.step_size,
         encoder_output_dim=encoder_output_dim, encoder_latent_ratio=encoder_latent_ratio,

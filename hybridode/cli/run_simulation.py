@@ -15,6 +15,7 @@ from ..config import EvalConfig, OptimConfig
 from ..data import SyntheticCohort
 from ..eval import evaluate
 from ..inference import VIModel, init_vi, load_checkpoint, variational_training_loop
+from ..utils.hostrng import host_key, host_split
 from . import common
 
 
@@ -41,7 +42,7 @@ def run(
     lockstep: bool = False,
 ):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     dg = SyntheticCohort.load(data_path)
     if not eval_only:
@@ -63,7 +64,7 @@ def run(
     params = None
 
     for i in range(optim_config.n_restart):
-        key, k_init, k_train = jax.random.split(key, 3)
+        key, k_init, k_train = host_split(key, 3)
         params = init_vi(k_init, model)
 
         if eval_only:
@@ -100,7 +101,7 @@ def run(
         params = jax.tree_util.tree_map(jax.numpy.asarray, params)
         print("Overall best loss: {:.6f}".format(best_loss))
 
-    key, k_eval = jax.random.split(key)
+    key, k_eval = host_split(key)
     if eval_mesh is not None:
         from ..parallel import evaluate_sharded, make_mesh_2d
 

@@ -19,6 +19,7 @@ from ..ensembles import learn_ensemble_weights
 from ..eval import evaluate_ensemble, evaluate_ensemble_horizon
 from ..inference import init_vi, load_checkpoint
 from ..inference.elbo import decode, encode
+from ..utils.hostrng import host_key, host_split
 from . import common
 
 
@@ -42,11 +43,11 @@ def predict_mean(params, model, data):
 def run(seed, data_path, sample, data_config, path, optim_config, eval_config,
         horizon=False, result_path=None):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     dg = SyntheticCohort.load(data_path)
 
-    k1, k2 = jax.random.split(key)
+    k1, k2 = host_split(key)
     params_e, model_e = init_and_load("expert", data_config, optim_config, k1, init_path=path)
     params_m, model_m = init_and_load("neural", data_config, optim_config, k2, init_path=path)
 

@@ -14,6 +14,7 @@ from ..config import EvalConfig, OptimConfig
 from ..data import SyntheticCohort
 from ..eval import evaluate
 from ..inference import init_vi, load_checkpoint, variational_training_loop
+from ..utils.hostrng import host_key, host_split
 from . import common
 
 
@@ -21,7 +22,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
         num_flows=4, mc_size=50, arg_itr=None, curve_path=None, events_path=None,
         val_criterion="forecast"):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
 
     dg = SyntheticCohort.load(data_path)
     if not eval_only:
@@ -37,7 +38,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
     best_on_disk = 1e9
     params = None
     for _ in range(optim_config.n_restart):
-        key, k_init, k_train = jax.random.split(key, 3)
+        key, k_init, k_train = host_split(key, 3)
         params = init_vi(k_init, model)
         if eval_only:
             break
@@ -56,7 +57,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
         params = jax.tree_util.tree_map(jax.numpy.asarray, params)
         print("Overall best loss: {:.6f}".format(best_loss))
 
-    key, k_eval = jax.random.split(key)
+    key, k_eval = host_split(key)
     evaluate(params, model, dg, optim_config.batch_size, eval_config.t0, key=k_eval)
     return params, model
 

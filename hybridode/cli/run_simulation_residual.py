@@ -18,6 +18,7 @@ from ..config import EvalConfig, OptimConfig
 from ..data import SyntheticCohort
 from ..eval import evaluate_ensemble, evaluate_ensemble_horizon
 from ..inference import init_vi, variational_training_loop
+from ..utils.hostrng import host_key, host_split
 from . import common
 from .run_simulation_ensemble import init_and_load, predict_mean
 
@@ -25,13 +26,13 @@ from .run_simulation_ensemble import init_and_load, predict_mean
 def run(seed, eval_only, data_path, sample, data_config, path, res_path, optim_config, eval_config,
         horizon=False, result_path=None):
     common.enable_compile_cache()
-    key = jax.random.PRNGKey(seed)
+    key = host_key(seed)
     batch_size = min(optim_config.batch_size, sample)
 
     dg = SyntheticCohort.load(data_path)
     print("Training with {} samples".format(sample))
 
-    key, k_e = jax.random.split(key)
+    key, k_e = host_split(key)
     params_e, model_e = init_and_load("expert", data_config, optim_config, k_e, init_path=path)
 
     # Residualize the val fold (run_simulation_residual.py:111-121).
@@ -45,7 +46,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, res_path, optim_c
     best_on_disk = 1e9
     params = model = None
     for _ in range(optim_config.n_restart):
-        key, k_init, k_train = jax.random.split(key, 3)
+        key, k_init, k_train = host_split(key, 3)
         model = common.build_sim_model("neural", data_config, elbo=True, ode_method=optim_config.ode_method)
         params = init_vi(k_init, model)
         if eval_only:

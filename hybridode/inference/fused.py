@@ -1,0 +1,234 @@
+"""Fused device-side training loop: one restart = one XLA program.
+
+Reference behavior mirrored: training_utils.py:8-97 (variational_training_loop
+— per-iteration Adam step, validation every `test_freq` iters, best-model
+checkpointing against a cross-restart best, early stop after `early_stop`
+validations without improvement, non-finite-loss abort).
+
+Why fused (TPU-native rationale, PERFORMANCE.md round 3): the chip on this
+environment sits behind a tunnel whose first device-to-host transfer
+permanently degrades per-call dispatch ~10x — and a host-driven loop must
+read the loss to gate/validate, so it trains degraded from iteration 1.
+This loop instead runs the ENTIRE restart inside `lax.while_loop`:
+
+  * mini-batch index sequences are pre-drawn on the host with the exact
+    same numpy RNG stream as the host loop and gathered on device;
+  * the per-iteration key-split sequence mirrors the host loop exactly
+    (one split per iteration, plus one per validation chunk on validation
+    iterations), so trajectories are bit-matched to the unfused loop;
+  * validation totals, the early-stop counter, the best-so-far parameters
+    (vs the incoming cross-restart best), the finite-loss gate, and the
+    training-curve buffer all live in the while-loop carry;
+  * ONE dispatch starts the restart and ONE read collects (final params,
+    best params, curve) when it finishes. Checkpoint-to-disk happens once
+    at the end iff validation improved on the incoming best — the same
+    end-of-run disk state as the reference's save-on-every-improvement
+    (which only differs if the process dies mid-restart).
+
+The curve/stdout contract is preserved: `Iter NNNN | Total Loss ... |
+Train Loss ...` lines, CSV curve rows, and JSONL events are emitted from
+the buffer after the program returns (contents identical, timing deferred).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import checkpoint as ckpt
+from .elbo import VIModel, forecast_loss, loss_fn
+
+
+def _gather(data, idx):
+    return {k: jnp.take(v, idx, axis=1) for k, v in data.items()}
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: str,
+                          val_t0: int, niters: int, test_freq: int, early_stop: int,
+                          n_val_chunks: int):
+    """Compile one whole-restart program per (model, protocol) combination.
+
+    The restart loop re-enters with identical settings; lru_cache keeps the
+    jitted program (and its executable) alive across restarts and sweep
+    repetitions in the same process.
+    """
+    optimizer = optax.multi_transform(
+        {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels_key.tree)
+    n_vals_cap = max(1, niters // test_freq)
+
+    def eval_one(params, batch, key):
+        if val_criterion == "forecast":
+            return forecast_loss(params, model, batch, val_t0)
+        return loss_fn(params, model, batch, key)
+
+    def run(params, key, data_train, data_val, idx_stack, val_idx, best_on_disk0):
+        opt_state = optimizer.init(params)
+        curve_it = jnp.zeros((n_vals_cap,), jnp.int32)
+        curve_val = jnp.zeros((n_vals_cap,), jnp.float32)
+        curve_tr = jnp.zeros((n_vals_cap,), jnp.float32)
+
+        def val_total(params, key):
+            def chunk(carry_key, vidx):
+                carry_key, k_val = jax.random.split(carry_key)
+                vbatch = _gather(data_val, vidx)
+                cl = eval_one(params, vbatch, k_val)
+                return carry_key, jnp.where(jnp.isfinite(cl), cl, 1e9)
+
+            key, losses = jax.lax.scan(chunk, key, val_idx)
+            return key, jnp.sum(losses)
+
+        def body(c):
+            (itr, key, params, opt_state, best_run, counter, best_od, best_params,
+             best_itr, improved, cit, cval, ctr, n_vals, stop_nf) = c
+
+            batch = _gather(data_train, idx_stack[(itr - 1) % idx_stack.shape[0]])
+            key, k_step = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(params, model, batch, k_step)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            finite = jnp.isfinite(loss)
+            is_val = jnp.logical_and(finite, itr % test_freq == 0)
+
+            def do_val(op):
+                key, best_run, counter, best_od, best_params, best_itr, improved, \
+                    cit, cval, ctr, n_vals = op
+                key, total = val_total(params, key)
+                better_run = total < best_run
+                best_run = jnp.where(better_run, total, best_run)
+                counter = jnp.where(better_run, 0, counter + 1)
+                better_od = total < best_od
+                best_od = jnp.where(better_od, total, best_od)
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(better_od, p, b), best_params, params)
+                best_itr = jnp.where(better_od, itr, best_itr)
+                improved = jnp.logical_or(improved, better_od)
+                iv = itr // test_freq - 1
+                cit = cit.at[iv].set(itr)
+                cval = cval.at[iv].set(total.astype(jnp.float32))
+                ctr = ctr.at[iv].set(loss.astype(jnp.float32))
+                n_vals = n_vals + 1
+                return key, best_run, counter, best_od, best_params, best_itr, \
+                    improved, cit, cval, ctr, n_vals
+
+            op = (key, best_run, counter, best_od, best_params, best_itr, improved,
+                  cit, cval, ctr, n_vals)
+            (key, best_run, counter, best_od, best_params, best_itr, improved,
+             cit, cval, ctr, n_vals) = jax.lax.cond(is_val, do_val, lambda op: op, op)
+
+            stop_nf = jnp.logical_not(finite)
+            return (itr + 1, key, params, opt_state, best_run, counter, best_od,
+                    best_params, best_itr, improved, cit, cval, ctr, n_vals, stop_nf)
+
+        def cond(c):
+            itr, counter, stop_nf = c[0], c[5], c[14]
+            return jnp.logical_and(
+                itr <= niters,
+                jnp.logical_and(counter < early_stop, jnp.logical_not(stop_nf)))
+
+        init = (jnp.asarray(1, jnp.int32), jnp.asarray(key), params, opt_state,
+                jnp.asarray(1e9, jnp.float32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(best_on_disk0, jnp.float32), params,
+                jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                curve_it, curve_val, curve_tr, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, init)
+        (itr, _, params, _, _, _, best_od, best_params, best_itr, improved,
+         cit, cval, ctr, n_vals, stop_nf) = out
+        return dict(final_params=params, best_od=best_od, best_params=best_params,
+                    best_itr=best_itr, improved=improved, curve_it=cit,
+                    curve_val=cval, curve_tr=ctr, n_vals=n_vals, stop_nf=stop_nf,
+                    n_iters=itr - 1)
+
+    return jax.jit(run)
+
+
+def fused_training_loop(
+    niters, data_generator, model, params, batch_size, lr, test_freq, key,
+    best_on_disk=1e9, early_stop=5, path="model/", shuffle=True,
+    train_fold="train", train_expert=False, verbose=True, curve_path=None,
+    events_path=None, val_criterion="elbo", val_t0=5,
+):
+    """Drop-in replacement for variational_training_loop (single device).
+
+    Pre-draws the host RNG's batch-index stream, runs the restart as one
+    device program, then replays logging/checkpointing from the returned
+    buffers. Returns (params, best_on_disk, wall) like the host loop.
+    """
+    from ..utils import CSVCurveLogger, JSONLLogger
+    from ..utils.hostrng import host_randint
+    from .train import _HashableTree, param_labels
+
+    labels = _HashableTree(param_labels(params, train_expert))
+
+    fold = data_generator._fold(train_fold)
+    fold_n = fold["measurements"].shape[1]
+    fold_size = data_generator.train_size if train_fold == "train" else data_generator.val_size
+    train_chunk = max(1, fold_size // batch_size)
+    val_chunks = max(1, data_generator.val_size // batch_size)
+    val_n = data_generator._fold("val")["measurements"].shape[1]
+
+    rng = np.random.RandomState(host_randint(key, 0, 2**31 - 1))
+    start = time.time()
+
+    # Host-side batch-index stream, identical to the host loop's draws.
+    if shuffle:
+        idx_stack = np.stack([rng.choice(fold_n, batch_size, replace=False)
+                              for _ in range(niters)]).astype(np.int32)
+    else:
+        row = min(batch_size, fold_n)
+        chunks = np.stack([np.arange(c * batch_size, c * batch_size + row)
+                           for c in range(train_chunk)]).astype(np.int32)
+        idx_stack = chunks[(np.arange(1, niters + 1)) % train_chunk]
+    vrow = min(batch_size, val_n)
+    val_idx = np.stack([np.arange(c * batch_size, c * batch_size + vrow)
+                        for c in range(val_chunks)]).astype(np.int32)
+
+    program = _cached_fused_program(
+        model, float(lr), labels, val_criterion, int(val_t0), int(niters),
+        int(test_freq), int(early_stop), int(val_chunks))
+    out = program(params, np.asarray(key), fold, data_generator._fold("val"),
+                  idx_stack, val_idx, float(best_on_disk))
+    out = {k: np.asarray(v) if not isinstance(v, dict) else v for k, v in out.items()}
+
+    wall = time.time() - start
+
+    # Replay the host loop's logging contract from the device buffers.
+    curve = CSVCurveLogger(curve_path)
+    events = JSONLLogger(events_path)
+    n_vals = int(out["n_vals"])
+    for i in range(n_vals):
+        it, tv, tr = int(out["curve_it"][i]), float(out["curve_val"][i]), float(out["curve_tr"][i])
+        if verbose:
+            print("Iter {:04d} | Total Loss {:.6f} | Train Loss {:.6f}".format(it, tv, tr))
+        curve.log(it, tv, tr)
+        events.log("val", itr=it, val_loss=tv, train_loss=tr)
+    if bool(out["stop_nf"]) and verbose:
+        print("non-finite training loss; stopping this restart")
+
+    if bool(out["improved"]):
+        best_on_disk = float(out["best_od"])
+        best_params = jax.tree_util.tree_map(np.asarray, out["best_params"])
+        ckpt.save_checkpoint(path, model.model_name, best_params, int(out["best_itr"]), best_on_disk)
+
+    events.log("done", wall=wall, best_on_disk=float(best_on_disk))
+    curve.close()
+    events.close()
+
+    try:
+        best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)
+    except FileNotFoundError:
+        ckpt.save_checkpoint(path, model.model_name, out["final_params"], 0, best_on_disk)
+        best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)
+
+    params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    if verbose:
+        print("Time: {}".format(wall))
+        print("Overall best loss: {:.6f}".format(best_on_disk))
+    return params, best_on_disk, wall

@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from . import checkpoint as ckpt
+from ..utils.hostrng import host_randint
 from .elbo import VIModel, loss_fn
 
 
@@ -127,6 +128,7 @@ def variational_training_loop(
     val_criterion: str = "elbo",
     val_t0: int = 5,
     dp_devices: int | None = None,
+    fused: bool | None = None,
 ):
     """Mirror of reference training_utils.variational_training_loop.
 
@@ -140,6 +142,21 @@ def variational_training_loop(
     batch size must be divisible by the device count.
     """
     dp = dp_devices is not None and dp_devices > 1
+    if fused is None:
+        fused = not dp
+    if fused and not dp and hasattr(data_generator, "_fold"):
+        # Whole-restart device program: one dispatch, one read — immune to
+        # the tunnel's D2H dispatch degradation (PERFORMANCE.md round 3).
+        # Bit-mirrors this host loop's batch-index and key-split streams.
+        from .fused import fused_training_loop
+
+        return fused_training_loop(
+            niters=niters, data_generator=data_generator, model=model,
+            params=params, batch_size=batch_size, lr=lr, test_freq=test_freq,
+            key=key, best_on_disk=best_on_disk, early_stop=early_stop,
+            path=path, shuffle=shuffle, train_fold=train_fold,
+            train_expert=train_expert, verbose=verbose, curve_path=curve_path,
+            events_path=events_path, val_criterion=val_criterion, val_t0=val_t0)
     if dp:
         from ..parallel import make_dp_eval_loss, make_dp_train_step, make_mesh, replicate, shard_batch
 
@@ -183,7 +200,7 @@ def variational_training_loop(
 
     curve = CSVCurveLogger(curve_path)
     events = JSONLLogger(events_path)
-    rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    rng = np.random.RandomState(host_randint(key, 0, 2**31 - 1))
     start = time.time()
 
     for itr in range(1, niters + 1):

@@ -153,6 +153,10 @@ class _FakeGenerator:
         lo = 16 if fold == "val" else 0
         return {k: v[:, lo + chunk * batch_size : lo + (chunk + 1) * batch_size] for k, v in self.data.items()}
 
+    def _fold(self, fold):
+        lo, hi = (16, 24) if fold == "val" else (0, 16)
+        return {k: v[:, lo:hi] for k, v in self.data.items()}
+
 
 class TestTrainingLoop:
     def test_loop_improves_and_checkpoints(self, tmp_path):
@@ -166,3 +170,50 @@ class TestTrainingLoop:
         )
         assert np.isfinite(best)
         assert os.path.exists(path + model.model_name)
+
+    def test_fused_loop_matches_host_loop(self, tmp_path):
+        """The whole-restart device program (inference/fused.py) mirrors the
+        host loop's batch-index and key-split streams — same trajectory,
+        same best validation loss, same checkpointed parameters."""
+        model = tiny_sim_model()
+        params = init_vi(jax.random.PRNGKey(0), model)
+        gen = _FakeGenerator(jax.random.PRNGKey(1))
+        key = np.asarray(jax.random.PRNGKey(2))
+        curves = {}
+        out = {}
+        for mode, fused in [("host", False), ("fused", True)]:
+            path = str(tmp_path) + f"/{mode}_"
+            curves[mode] = str(tmp_path) + f"/{mode}_curve.csv"
+            out[mode] = variational_training_loop(
+                niters=8, data_generator=gen, model=model, params=params,
+                batch_size=8, lr=0.01, test_freq=4, key=key, path=path,
+                verbose=False, curve_path=curves[mode], fused=fused,
+            )
+        p_host, best_host, _ = out["host"]
+        p_fused, best_fused, _ = out["fused"]
+        assert np.isclose(best_host, best_fused, rtol=1e-5)
+        c_host = np.loadtxt(curves["host"], delimiter=",").reshape(-1, 3)
+        c_fused = np.loadtxt(curves["fused"], delimiter=",").reshape(-1, 3)
+        np.testing.assert_allclose(c_host, c_fused, rtol=2e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_host), jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_fused_loop_early_stop_and_nonfinite_gate(self, tmp_path):
+        """Fused loop stops early (counter semantics) and survives a
+        non-finite loss by aborting the restart like the host loop."""
+        model = tiny_sim_model()
+        params = init_vi(jax.random.PRNGKey(0), model)
+        gen = _FakeGenerator(jax.random.PRNGKey(1))
+        path = str(tmp_path) + "/"
+        # lr=0 -> validation never improves after the first eval; early_stop=1
+        # must cut the run at the second validation (2 curve rows, not 4).
+        curve = str(tmp_path) + "/curve.csv"
+        _, best, _ = variational_training_loop(
+            niters=8, data_generator=gen, model=model, params=params,
+            batch_size=8, lr=0.0, test_freq=2, early_stop=1, key=np.asarray(jax.random.PRNGKey(2)),
+            path=path, verbose=False, fused=True, curve_path=curve,
+        )
+        assert np.isfinite(best)
+        assert os.path.exists(path + model.model_name)
+        rows = np.loadtxt(curve, delimiter=",").reshape(-1, 3)
+        assert rows.shape[0] == 2 and rows[0, 0] == 2 and rows[1, 0] == 4
