@@ -10,10 +10,14 @@
 # protocol for BOTH sides, which is what makes the comparison controlled.
 #
 # Usage: REAL_NITERS=300 bash experiments/real_headtohead.sh
+# SIDE=ours|ref|both (default both) runs only one side — lets the TPU-bound
+# ours-cells and the CPU-bound torch ref-cells run as separate queues on
+# this 1-core host; the summary block only emits rows with both sides done.
 set -u
 cd "$(dirname "$0")/.."
 N=${REAL_NITERS:-300}
 SAMPLES=${SAMPLES:-100 500}
+SIDE=${SIDE:-both}
 REFDIR=.ref_run
 OUTDIR=results/real_headtohead
 mkdir -p "$OUTDIR" "$REFDIR/model" "$REFDIR/results" model
@@ -36,16 +40,19 @@ for SAMPLE in $SAMPLES; do
   for METHOD in neural 2nd tlstm gruode hybrid expert; do
     FLAGS=$(flags_for $METHOD)
     REFLOG=$OUTDIR/ref_${METHOD}_${SAMPLE}.txt
-    if ! done_log "$REFLOG"; then
+    if [ "$SIDE" != "ours" ] && ! done_log "$REFLOG"; then
       echo "[ref ] $METHOD $SAMPLE"
-      (cd "$REFDIR" && PYTHONPATH=/root/repo/.ref_shim:/root/reference OMP_NUM_THREADS=1 \
+      # cwd must be $REFDIR/real so DataGeneratorReal's default
+      # data_path="../data/" resolves to $REFDIR/data (the stand-in arrays).
+      (cd "$REFDIR/real" && PYTHONPATH=/root/repo/.ref_shim:/root/reference OMP_NUM_THREADS=1 \
         python -u -m experiments.run_real --method=$METHOD --sample=$SAMPLE \
         --niters=$N $FLAGS) > "$REFLOG" 2>"$REFLOG.err" || echo "ref $METHOD $SAMPLE FAILED"
     fi
     OURLOG=$OUTDIR/ours_${METHOD}_${SAMPLE}.txt
-    if ! done_log "$OURLOG"; then
+    if [ "$SIDE" != "ref" ] && ! done_log "$OURLOG"; then
       echo "[ours] $METHOD $SAMPLE"
       python -u -m hybridode.cli.run_real --method=$METHOD --sample=$SAMPLE \
+        --data_path=data_real/ \
         --niters=$N $FLAGS > "$OURLOG" 2>"$OURLOG.err" || echo "ours $METHOD $SAMPLE FAILED"
     fi
   done
