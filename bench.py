@@ -70,6 +70,24 @@ def main():
     key = jax.random.PRNGKey(1)
     timer = PhaseTimer()
 
+    # BENCH_FUSED=1: run the whole epoch as ONE jitted lax.scan over the 20
+    # pre-gathered mini-batches (the fused-restart training loop's shape,
+    # inference/fused.py) instead of 20 host-dispatched steps. Round 1
+    # rejected epoch fusion from a pre-sync-fix measurement; this knob
+    # re-measures it under the sync-once protocol.
+    fused_epoch = os.environ.get("BENCH_FUSED", "") == "1"
+    if fused_epoch:
+        @jax.jit
+        def epoch_scan(params, opt_state, batches, key):
+            def one(carry, batch):
+                params, opt_state, key = carry
+                key, k = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, batch, k)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(one, (params, opt_state, key), batches)
+            return params, opt_state, key, losses[-1]
+
     def make_probe(model):
         spec = model.decoder_spec
         ts = jnp.asarray(spec.ts)
@@ -100,6 +118,16 @@ def main():
         return probe
 
     def one_epoch(params, opt_state, key, sync=True):
+        if fused_epoch:
+            with timer.phase("data"):
+                mbs = [dg.get_mini_batch("train", batch_size, rng) for _ in range(steps_per_epoch)]
+                batches = {k2: np.stack([m[k2] for m in mbs]) for k2 in mbs[0]}
+            with timer.phase("step"):
+                params, opt_state, key, loss = epoch_scan(params, opt_state, batches, key)
+            if sync:
+                with timer.phase("sync"):
+                    jax.block_until_ready(loss)
+            return params, opt_state, key, loss
         for _ in range(steps_per_epoch):
             with timer.phase("data"):
                 batch = dg.get_mini_batch("train", batch_size, rng)
