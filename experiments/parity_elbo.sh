@@ -71,12 +71,25 @@ elif [ "$WHICH" = "noise" ]; then
           --batch_size=10 --restart=3 --seed=$SEED --val_criterion=elbo \
           --path=model/elbo_s${SEED}_noise${NL}f_ --data_path=$DATA > "$LOG"
       fi
+      # ensemble2/residual rows (reference run_noise_level.sh:28-30:
+      # sample_cali = 400-300 = 100, reusing the expert/neural checkpoints).
+      LOG=results/elbo_ensemble2_noise${NL}_s${SEED}.txt
+      if done_log "$LOG"; then echo "skip ensemble2 noise$NL s$SEED (done)"; else
+        python -m hybridode.cli.run_simulation_ensemble --sample=100 \
+          --seed=$SEED --path=model/elbo_s${SEED}_noise${NL}_ --data_path=$DATA > "$LOG"
+      fi
+      LOG=results/elbo_residual_noise${NL}_s${SEED}.txt
+      if done_log "$LOG"; then echo "skip residual noise$NL s$SEED (done)"; else
+        python -m hybridode.cli.run_simulation_residual --sample=100 \
+          --seed=$SEED --val_criterion=elbo \
+          --path=model/elbo_s${SEED}_noise${NL}_ --data_path=$DATA > "$LOG"
+      fi
     done
   done
   : > "$OUT"
   for SEED in $SEEDS; do
     for NL in 0.4 0.8; do
-      for METHOD in neural expert hybrid flow; do
+      for METHOD in neural expert hybrid flow ensemble2 residual; do
         LOG=results/elbo_${METHOD}_noise${NL}_s${SEED}.txt
         if done_log "$LOG"; then
           echo "# seed=$SEED noise=$NL method=$METHOD" >> "$OUT"

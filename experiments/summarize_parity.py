@@ -31,9 +31,9 @@ REF_DIM = {
 # results/results_noise.txt rmse_x rows (incl. the flow model).
 REF_NOISE = {
     ("neural", "0.4"): 0.8092, ("expert", "0.4"): 0.8991, ("hybrid", "0.4"): 0.6808,
-    ("flow", "0.4"): 0.7622,
+    ("flow", "0.4"): 0.7622, ("residual", "0.4"): 0.9337, ("ensemble2", "0.4"): 0.7944,
     ("neural", "0.8"): 1.0048, ("expert", "0.8"): 0.9430, ("hybrid", "0.8"): 0.8499,
-    ("flow", "0.8"): 0.9267,
+    ("flow", "0.8"): 0.9267, ("residual", "0.8"): 0.9556, ("ensemble2", "0.8"): 0.9175,
 }
 
 
@@ -93,7 +93,7 @@ def main():
           REF_DIM, ["dim8", "dim12"], "Dim sweep, val_criterion=elbo")
     table(parse(os.path.join(RESULTS, "results_noise_elbo.txt"), "noise"),
           REF_NOISE, ["0.4", "0.8"], "Noise sweep, val_criterion=elbo",
-          methods=("neural", "expert", "hybrid", "flow"))
+          methods=("neural", "expert", "hybrid", "flow", "ensemble2", "residual"))
 
 
 if __name__ == "__main__":

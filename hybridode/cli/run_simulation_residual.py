@@ -24,7 +24,7 @@ from .run_simulation_ensemble import init_and_load, predict_mean
 
 
 def run(seed, eval_only, data_path, sample, data_config, path, res_path, optim_config, eval_config,
-        horizon=False, result_path=None):
+        horizon=False, result_path=None, val_criterion="forecast"):
     common.enable_compile_cache()
     key = host_key(seed)
     batch_size = min(optim_config.batch_size, sample)
@@ -56,7 +56,7 @@ def run(seed, eval_only, data_path, sample, data_config, path, res_path, optim_c
             batch_size=batch_size, lr=optim_config.lr, test_freq=optim_config.test_freq,
             key=k_train, path=res_path, best_on_disk=best_on_disk,
             early_stop=optim_config.early_stop, shuffle=optim_config.shuffle, train_fold="val",
-            val_criterion="forecast", val_t0=eval_config.t0,
+            val_criterion=val_criterion, val_t0=eval_config.t0,
         )
     print("Ensemble weights learned.")
 
@@ -84,13 +84,17 @@ def main(argv=None):
     parser.add_argument("--lr", default=0.01, type=float)
     parser.add_argument("--horizon", default=False, type=bool)
     parser.add_argument("--result_path", default=None, type=str)
+    parser.add_argument("--val_criterion", choices=["forecast", "elbo"], default="forecast", type=str,
+                        help="checkpoint-selection criterion for the residual model; elbo is the "
+                             "reference's rule (training_utils.py:56-80)")
     args = parser.parse_args(argv)
 
     res_path = args.res_path if args.res_path is not None else args.path + "res"
     data_config = common.resolve_data_config(args.data_config, args.sample)
     optim_config = OptimConfig(shuffle=False, n_restart=args.restart, lr=args.lr)
     run(args.seed, args.eval == "y", args.data_path, args.sample, data_config, args.path, res_path,
-        optim_config, EvalConfig(t0=args.t0), args.horizon, args.result_path)
+        optim_config, EvalConfig(t0=args.t0), args.horizon, args.result_path,
+        val_criterion=args.val_criterion)
 
 
 if __name__ == "__main__":
