@@ -62,17 +62,19 @@ def _field_tile(t, y, times, amounts, p, ml_w, ml_b, ml_dim):
     d3 = ImmuneReact * p["k_immunity"]
     d4 = p["kel"] * dose - p["kel"] * Dose2
 
-    expert = jnp.stack([d1, d2, d3, d4])  # (4, TB)
+    parts = [jnp.stack([d1, d2, d3, d4])]  # (4, TB)
     if ml_dim > 0:
         # (ml, D_PAD) @ (D_PAD, TB) on the MXU; padded rows of y are zero and
         # padded columns of ml_w are zero, so the product is exact.
-        dml = jnp.tanh(
+        parts.append(jnp.tanh(
             jnp.dot(ml_w, y, preferred_element_type=jnp.float32) + ml_b[:, None]
-        )
-        zeros = jnp.zeros((D_PAD - 4 - ml_dim, y.shape[1]), y.dtype)
-        return jnp.concatenate([expert, dml, zeros], axis=0)
-    zeros = jnp.zeros((D_PAD - 4, y.shape[1]), y.dtype)
-    return jnp.concatenate([expert, zeros], axis=0)
+        ))
+    # Mosaic rejects zero-sized vectors, so only pad when rows remain
+    # (ml_dim == D_PAD - 4 needs no pad block at all).
+    pad_rows = D_PAD - 4 - ml_dim
+    if pad_rows > 0:
+        parts.append(jnp.zeros((pad_rows, y.shape[1]), y.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _kernel(scalars_ref, ts_ref, y_ref, times_ref, amounts_ref, mlw_ref, mlb_ref, out_ref,

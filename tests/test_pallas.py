@@ -51,6 +51,17 @@ class TestRocheKernel:
         want = _reference_traj(params, ctx, y0, ts, n_sub=2)
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
 
+    def test_full_width_no_pad(self):
+        # latent=8 -> ml_dim=4 -> zero pad rows: the concatenate must not
+        # emit a zero-sized block (Mosaic rejects 0-width vectors; caught on
+        # real TPU by bench_scale.py, round 3).
+        params, ctx, y0, ts = self._setup(latent=8)
+        ml = params["ml_net"][0]
+        got = roche_rk4_trajectory(y0, ctx.times[:, 0], ctx.amounts, params["expert"],
+                                   ml["w"], ml["b"], ts, n_substeps=2, interpret=True)
+        want = _reference_traj(params, ctx, y0, ts, n_sub=2)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
     def test_batch_padding(self):
         # B not a multiple of 128: padded lanes must not contaminate outputs.
         params, ctx, y0, ts = self._setup(latent=6, B=7)
