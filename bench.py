@@ -77,15 +77,25 @@ def main():
     # re-measures it under the sync-once protocol.
     fused_epoch = os.environ.get("BENCH_FUSED", "") == "1"
     if fused_epoch:
+        # Mirror inference/fused.py: mini-batch INDEX streams are drawn on
+        # the host (ints only) and the gather happens on device inside the
+        # scan. The first version stacked device-resident mini-batches with
+        # np.stack — 20 D2H reads/epoch, which trips the tunnel's
+        # first-read dispatch cliff (PERFORMANCE.md round 3) and turned the
+        # "data" phase into 2.8 s/epoch of pure readback.
+        train_fold = dg._fold("train")
+        n_train = train_fold["measurements"].shape[1]
+
         @jax.jit
-        def epoch_scan(params, opt_state, batches, key):
-            def one(carry, batch):
+        def epoch_scan(params, opt_state, idx, key):
+            def one(carry, idx_row):
                 params, opt_state, key = carry
+                batch = {k2: jnp.take(v, idx_row, axis=1) for k2, v in train_fold.items()}
                 key, k = jax.random.split(key)
                 params, opt_state, loss = step(params, opt_state, batch, k)
                 return (params, opt_state, key), loss
 
-            (params, opt_state, key), losses = jax.lax.scan(one, (params, opt_state, key), batches)
+            (params, opt_state, key), losses = jax.lax.scan(one, (params, opt_state, key), idx)
             return params, opt_state, key, losses[-1]
 
     def make_probe(model):
@@ -120,10 +130,10 @@ def main():
     def one_epoch(params, opt_state, key, sync=True):
         if fused_epoch:
             with timer.phase("data"):
-                mbs = [dg.get_mini_batch("train", batch_size, rng) for _ in range(steps_per_epoch)]
-                batches = {k2: np.stack([m[k2] for m in mbs]) for k2 in mbs[0]}
+                idx = np.stack([rng.choice(n_train, batch_size, replace=False)
+                                for _ in range(steps_per_epoch)]).astype(np.int32)
             with timer.phase("step"):
-                params, opt_state, key, loss = epoch_scan(params, opt_state, batches, key)
+                params, opt_state, key, loss = epoch_scan(params, opt_state, idx, key)
             if sync:
                 with timer.phase("sync"):
                     jax.block_until_ready(loss)
