@@ -97,6 +97,41 @@ def fig_noise():
     print("fig_noise done")
 
 
+def fig_noise_elbo():
+    """Ours (mean±seed-SD, ELBO selection rule) vs the reference's committed
+    noise-table values (results_noise.txt:2-46), all six method rows."""
+    from summarize_parity import REF_NOISE, parse
+
+    cells = parse(os.path.join(RESULTS, "results_noise_elbo.txt"), "noise")
+    methods = ["neural", "expert", "hybrid", "flow", "ensemble2", "residual"]
+    fig, axes = plt.subplots(1, 2, figsize=(9, 3.6), sharey=True)
+    ours_c, ref_c = "#2563eb", "#9ca3af"  # blue vs neutral gray (CVD-safe pair)
+    for ax, noise in zip(axes, ["0.4", "0.8"]):
+        xs = np.arange(len(methods))
+        means, sds, refs = [], [], []
+        for m in methods:
+            vals = [v["rmse_x"][0] for v in cells.get((m, noise), {}).values() if "rmse_x" in v]
+            means.append(np.mean(vals) if vals else np.nan)
+            sds.append(np.std(vals) if len(vals) > 1 else 0.0)
+            refs.append(REF_NOISE.get((m, noise), np.nan))
+        ax.bar(xs - 0.2, means, 0.36, yerr=sds, capsize=2, color=ours_c, label="ours (3 seeds)")
+        ax.bar(xs + 0.2, refs, 0.36, color=ref_c, label="reference (committed)")
+        ax.set_title(f"noise = {noise}", fontsize=10)
+        ax.set_xticks(xs)
+        ax.set_xticklabels(methods, rotation=30, ha="right", fontsize=8)
+        ax.grid(axis="y", alpha=0.25, linewidth=0.5)
+        ax.set_axisbelow(True)
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+    axes[0].set_ylabel("test rmse_x")
+    axes[0].legend(fontsize=8, frameon=False)
+    fig.suptitle("Noise sweep under the reference's ELBO selection rule", fontsize=11)
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "fignoise_elbo.png")
+    fig.savefig(out, dpi=150)
+    print(f"fig_noise_elbo done -> {out}")
+
+
 def _t0_variance_ratios(test_pickle, t0s=(5, 10, 12)):
     """Per-window variance normalizers, reference Fig6.ipynb cell 2 verbatim:
     f_{t0} = mean_b [ sum_{t,d} (x - mean)^2 m / sum_{t,d} m ] over x[t0:],
@@ -179,7 +214,8 @@ def fig9():
     print("fig9 done")
 
 
-ALL = {"fig3": fig3, "dim": fig_dim, "noise": fig_noise, "fig6": fig6, "fig7": fig7, "fig9": fig9}
+ALL = {"fig3": fig3, "dim": fig_dim, "noise": fig_noise, "noise_elbo": fig_noise_elbo,
+       "fig6": fig6, "fig7": fig7, "fig9": fig9}
 
 
 def main():
