@@ -214,8 +214,39 @@ def fig9():
     print("fig9 done")
 
 
+def fig_headtohead():
+    """Real-track head-to-head scatter: each point is one (method, sample,
+    horizon) cell from results/real_headtohead/summary.csv; x = the ACTUAL
+    reference code's rmse_x on the stand-in arrays, y = ours, same protocol.
+    Points under the diagonal = ours better."""
+    path = os.path.join(RESULTS, "real_headtohead", "summary.csv")
+    df = pd.read_csv(path)
+    fig, ax = plt.subplots(figsize=(4.6, 4.4))
+    lo = min(df.ours_rmse.min(), df.ref_rmse.min()) * 0.97
+    hi = max(df.ours_rmse.max(), df.ref_rmse.max()) * 1.03
+    ax.plot([lo, hi], [lo, hi], color="#9ca3af", linewidth=1, zorder=1)
+    ax.scatter(df.ref_rmse, df.ours_rmse, s=26, color="#2563eb", alpha=0.8,
+               edgecolors="white", linewidths=0.8, zorder=2)
+    # Direct-label only the systematic outlier (the 2nd-order model).
+    for _, r in df[df.method == "2nd"].groupby("sample").head(1).iterrows():
+        ax.annotate("2nd", (r.ref_rmse, r.ours_rmse), textcoords="offset points",
+                    xytext=(5, -3), fontsize=8, color="#374151")
+    ax.set_xlabel("reference code rmse_x (torch CPU, via shim)")
+    ax.set_ylabel("ours rmse_x (TPU)")
+    ax.set_title("Real-track head-to-head, identical protocol\n"
+                 "(6 methods x {100,500} samples x 4 horizons)", fontsize=10)
+    ax.grid(alpha=0.25, linewidth=0.5)
+    ax.set_axisbelow(True)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "fig_headtohead.png")
+    fig.savefig(out, dpi=150)
+    print(f"fig_headtohead done -> {out}")
+
+
 ALL = {"fig3": fig3, "dim": fig_dim, "noise": fig_noise, "noise_elbo": fig_noise_elbo,
-       "fig6": fig6, "fig7": fig7, "fig9": fig9}
+       "fig6": fig6, "fig7": fig7, "fig9": fig9, "headtohead": fig_headtohead}
 
 
 def main():
