@@ -16,7 +16,7 @@ bash parity_elbo.sh dim
 bash parity_elbo.sh noise
 bash stepspace_ab.sh
 SIDE=ours bash real_headtohead.sh     # SIDE=ref needs the torch queue (.ref_run)
-bash real.sh STANDIN=y
+STANDIN=y bash real.sh
 python figures.py --which all
 python figures.py --which noise_elbo
 python figures.py --which headtohead
