@@ -36,7 +36,10 @@ def _pause_own_queues():
     dispatch thread and inflates the epoch ~2.6x (measured round 3). Only
     ever touches PIDs we started ourselves; silently a no-op when the
     pidfiles are stale or absent."""
-    pidfiles = os.environ.get("BENCH_PAUSE_PIDFILES", "/tmp/cpuqueue2.pid").split(":")
+    import glob as _glob
+
+    default = ":".join(["/tmp/cpuqueue2.pid"] + sorted(_glob.glob("/tmp/hybridode_cpu/*.pid")))
+    pidfiles = os.environ.get("BENCH_PAUSE_PIDFILES", default).split(":")
     stopped = []
     for pf in pidfiles:
         try:
@@ -58,6 +61,14 @@ def _pause_own_queues():
                 stopped.append(pid)
             except (OSError, ProcessLookupError):
                 pass
+    if stopped:
+        # Deadman unfreezer: if this process is SIGKILLed mid-bench the
+        # finally below never runs — a detached sleeper guarantees the queue
+        # resumes regardless (a second CONT to a running process is a no-op).
+        os.system(
+            "nohup bash -c 'sleep 1200; kill -CONT %s 2>/dev/null' >/dev/null 2>&1 &"
+            % " ".join(map(str, stopped))
+        )
     try:
         yield
     finally:
@@ -282,6 +293,34 @@ def main():
     }))
 
 
+def _probe_tunnel():
+    """Fail fast (exit 3) when the TPU tunnel relay is down.
+
+    With the axon plugin registered but its loopback relay dead, ANY
+    jax.devices() call hangs indefinitely (observed round 3 when the relay
+    process died) — better to report a clear infrastructure error than hang
+    the driver's bench run forever."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "") or not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    import socket
+
+    s = socket.socket()
+    s.settimeout(5)
+    try:
+        s.connect(("127.0.0.1", 8082))
+    except OSError as e:
+        print(json.dumps({
+            "metric": "hybrid_lhm_dim8_epoch_wallclock", "value": None,
+            "unit": "s/epoch", "vs_baseline": None,
+            "error": f"TPU tunnel relay unreachable on 127.0.0.1:8082 ({e}); "
+                     "refusing to start a bench that would hang in backend init",
+        }))
+        sys.exit(3)
+    finally:
+        s.close()
+
+
 if __name__ == "__main__":
+    _probe_tunnel()
     with _pause_own_queues():
         main()
