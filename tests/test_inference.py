@@ -198,6 +198,29 @@ class TestTrainingLoop:
         for a, b in zip(jax.tree_util.tree_leaves(p_host), jax.tree_util.tree_leaves(p_fused)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    def test_fused_loop_matches_host_loop_val_fold_noshuffle(self, tmp_path):
+        """The residual pipeline's configuration (shuffle=False,
+        train_fold='val' — run_simulation_residual.py): the fused loop's
+        deterministic chunk cycling must match the host loop's."""
+        model = tiny_sim_model()
+        params = init_vi(jax.random.PRNGKey(0), model)
+        gen = _FakeGenerator(jax.random.PRNGKey(1))
+        key = np.asarray(jax.random.PRNGKey(2))
+        out = {}
+        for mode, fused in [("host", False), ("fused", True)]:
+            path = str(tmp_path) + f"/{mode}_"
+            out[mode] = variational_training_loop(
+                niters=6, data_generator=gen, model=model, params=params,
+                batch_size=4, lr=0.01, test_freq=3, key=key, path=path,
+                verbose=False, shuffle=False, train_fold="val", fused=fused,
+            )
+        _, best_host, _ = out["host"]
+        _, best_fused, _ = out["fused"]
+        assert np.isclose(best_host, best_fused, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(out["host"][0]),
+                        jax.tree_util.tree_leaves(out["fused"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
     def test_fused_loop_early_stop_and_nonfinite_gate(self, tmp_path):
         """Fused loop stops early (counter semantics) and survives a
         non-finite loss by aborting the restart like the host loop."""
