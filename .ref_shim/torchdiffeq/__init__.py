@@ -1,0 +1,93 @@
+
+"""torchdiffeq stand-in: reference-API adaptive DOPRI5 in plain torch."""
+import torch
+
+_A = [
+    [0, 0, 0, 0, 0, 0, 0],
+    [1 / 5, 0, 0, 0, 0, 0, 0],
+    [3 / 40, 9 / 40, 0, 0, 0, 0, 0],
+    [44 / 45, -56 / 15, 32 / 9, 0, 0, 0, 0],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729, 0, 0, 0],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656, 0, 0],
+    [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0],
+]
+_C = [0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1, 1]
+_B = [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0]
+_E = [35 / 384 - 1951 / 21600, 0, 500 / 1113 - 22642 / 50085, 125 / 192 - 451 / 720,
+      -2187 / 6784 - -12231 / 42400, 11 / 84 - 649 / 6300, -1 / 60]
+# 4th-order dense-output interpolant (Shampine's DP5 continuous extension,
+# the same P matrix scipy's RK45 dense_output uses): y(t0 + theta*h) =
+# y0 + h * sum_j k_j * sum_m P[j][m] * theta^(m+1).
+_P = [
+    [1, -8048581381 / 2820520608, 8663915743 / 2820520608, -12715105075 / 11282082432],
+    [0, 0, 0, 0],
+    [0, 131558114200 / 32700410799, -68118460800 / 10900136933, 87487479700 / 32700410799],
+    [0, -1754552775 / 470086768, 14199869525 / 1410260304, -10690763975 / 1880347072],
+    [0, 127303824393 / 49829197408, -318862633887 / 49829197408, 701980252875 / 199316789632],
+    [0, -282668133 / 205662961, 2019193451 / 616988883, -1453857185 / 822651844],
+    [0, 40617522 / 29380423, -110615467 / 29380423, 69997945 / 29380423],
+]
+
+
+def _rms(x):
+    return x.pow(2).mean().sqrt()
+
+
+def odeint(func, y0, t, rtol=1e-7, atol=1e-8, method="dopri5", options=None):
+    if method != "dopri5":
+        # fixed-step fallback (midpoint) for non-adaptive requests
+        ys = [y0]
+        y = y0
+        for i in range(len(t) - 1):
+            h = t[i + 1] - t[i]
+            k1 = func(t[i], y)
+            y = y + h * func(t[i] + h / 2, y + h / 2 * k1)
+            ys.append(y)
+        return torch.stack(ys)
+
+    dtype = y0.dtype
+    t = t.to(dtype)
+    tt = t[0]
+    y = y0
+    f0 = func(tt, y)
+    scale = atol + y0.abs() * rtol
+    d0 = _rms(y0 / scale)
+    d1 = _rms(f0 / scale)
+    h = torch.clamp(0.01 * d0 / (d1 + 1e-30), 1e-6, 1.0)
+
+    out = [y0]
+    next_idx = 1
+    t_final = t[-1]
+    for _ in range(20000):
+        if next_idx >= len(t):
+            break
+        h = torch.minimum(h, t_final - tt)
+        ks = [f0]
+        for i in range(1, 7):
+            yi = y + h * sum(ks[j] * _A[i][j] for j in range(i) if _A[i][j] != 0)
+            ks.append(func(tt + _C[i] * h, yi))
+        y1 = y + h * sum(ks[i] * _B[i] for i in range(7) if _B[i] != 0)
+        err = h * sum(ks[i] * _E[i] for i in range(7) if _E[i] != 0)
+        sc = atol + rtol * torch.maximum(y.abs(), y1.abs())
+        norm = _rms(err / sc)
+        if float(norm) <= 1.0:
+            t_new = tt + h
+            while next_idx < len(t) and float(t[next_idx]) <= float(t_new) + 1e-9:
+                theta = (t[next_idx] - tt) / (t_new - tt + 1e-30)
+                acc = torch.zeros_like(y)
+                for j in range(7):
+                    bj = theta * (_P[j][0] + theta * (_P[j][1] + theta * (_P[j][2] + theta * _P[j][3])))
+                    if j == 1:
+                        continue
+                    acc = acc + ks[j] * bj
+                out.append(y + h * acc)
+                next_idx += 1
+            tt = t_new
+            y = y1
+            f0 = ks[6]
+        factor = float(torch.clamp(0.9 * norm.pow(-0.2), 0.2, 10.0)) if float(norm) > 0 else 10.0
+        h = h * factor
+    while next_idx < len(t):
+        out.append(y)
+        next_idx += 1
+    return torch.stack(out)
