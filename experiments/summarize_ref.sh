@@ -27,5 +27,16 @@ OUT=results/ref_seed_spread.md
       echo "| $SAMPLE | $SEED | ${R:-—} | ${O:-—} | ${L:-—} | $REFC |"
     done
   done
+  echo
+  echo "## Expert method, sample=400 (ours ELBO-rule mean 0.817±0.011; ref committed 0.730)"
+  echo
+  echo "| seed | ref-code rmse_x (our run) | ours (ELBO rule) |"
+  echo "|---|---|---|"
+  for SEED in 666 123 42; do
+    R=$(grep '^rmse_x' .ref_run/results/ref_expert_400_s${SEED}_test.txt 2>/dev/null | cut -d, -f2)
+    O=$(grep '^rmse_x' results/elbo_expert_400_s${SEED}_test.txt 2>/dev/null | cut -d, -f2)
+    [ -z "$R" ] && continue
+    echo "| $SEED | $R | ${O:-—} |"
+  done
 } > "$OUT"
 echo "wrote $OUT"
