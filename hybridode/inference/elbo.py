@@ -196,16 +196,12 @@ def flow_loss(params, model: VIModel, batch, key):
     return lik + kld
 
 
-def forecast_loss(params, model: VIModel, batch, t0: int):
-    """Deterministic forecast error: encode x[:t0] (posterior mean), decode,
-    masked MSE on x[t0:] — the test protocol applied as a validation
-    criterion.
+def forecast_loss_terms(params, model: VIModel, batch, t0: int):
+    """(masked squared-error sum, mask count) behind forecast_loss.
 
-    Documented deviation from the reference: its validation loss is the
-    training ELBO with FULL-sequence encoding (training_utils.py:60-67),
-    which keeps improving while forecast skill degrades — the reference is
-    implicitly protected only by its slow optimizer. Selecting on the actual
-    figure of merit is the robust replacement at our training speed.
+    Exposed separately so the data-parallel fused loop can psum the two
+    terms across shards and divide once — pmean of per-shard ratios is NOT
+    the global masked MSE when shards carry different mask counts.
     """
     x, a, mask = batch["measurements"], batch["actions"], batch["masks"]
     if model.kind == "real":
@@ -225,6 +221,21 @@ def forecast_loss(params, model: VIModel, batch, t0: int):
     pred = x_hat[: x.shape[0] - t0] if model.kind == "real" else x_hat[t0:]
     num = jnp.sum((x[t0:] - pred) ** 2 * mask[t0:])
     den = jnp.sum(mask[t0:])
+    return num, den
+
+
+def forecast_loss(params, model: VIModel, batch, t0: int):
+    """Deterministic forecast error: encode x[:t0] (posterior mean), decode,
+    masked MSE on x[t0:] — the test protocol applied as a validation
+    criterion.
+
+    Documented deviation from the reference: its validation loss is the
+    training ELBO with FULL-sequence encoding (training_utils.py:60-67),
+    which keeps improving while forecast skill degrades — the reference is
+    implicitly protected only by its slow optimizer. Selecting on the actual
+    figure of merit is the robust replacement at our training speed.
+    """
+    num, den = forecast_loss_terms(params, model, batch, t0)
     return num / jnp.maximum(den, 1.0)
 
 

@@ -41,7 +41,7 @@ import numpy as np
 import optax
 
 from . import checkpoint as ckpt
-from .elbo import VIModel, forecast_loss, loss_fn
+from .elbo import VIModel, forecast_loss, forecast_loss_terms, loss_fn
 
 
 def _gather(data, idx):
@@ -51,21 +51,42 @@ def _gather(data, idx):
 @functools.lru_cache(maxsize=32)
 def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: str,
                           val_t0: int, niters: int, test_freq: int, early_stop: int,
-                          n_val_chunks: int):
+                          n_val_chunks: int, dp_devices: int = 0):
     """Compile one whole-restart program per (model, protocol) combination.
 
     The restart loop re-enters with identical settings; lru_cache keeps the
     jitted program (and its executable) alive across restarts and sweep
     repetitions in the same process.
+
+    ``dp_devices > 1`` composes the whole-restart program with batch data
+    parallelism: the ENTIRE while_loop runs inside shard_map over a 1-D
+    "data" mesh — folds replicated, mini-batch index columns sharded, grads
+    and losses pmean'd exactly like parallel/mesh.py's per-step DP — so
+    multi-chip training is still one dispatch per restart (no host-driven
+    degraded-dispatch fallback).
     """
+    dp = dp_devices > 1
+    axis = "data"
     optimizer = optax.multi_transform(
         {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels_key.tree)
     n_vals_cap = max(1, niters // test_freq)
 
+    def fold_axis(key):
+        # Mirrors make_dp_train_step/make_dp_eval_loss: per-shard RNG
+        # decorrelated by folding in the mesh axis index.
+        return jax.random.fold_in(key, jax.lax.axis_index(axis)) if dp else key
+
     def eval_one(params, batch, key):
         if val_criterion == "forecast":
+            if dp:
+                num, den = forecast_loss_terms(params, model, batch, val_t0)
+                num = jax.lax.psum(num, axis)
+                den = jax.lax.psum(den, axis)
+                return num / jnp.maximum(den, 1.0)
             return forecast_loss(params, model, batch, val_t0)
-        return loss_fn(params, model, batch, key)
+        loss = loss_fn(params, model, batch, fold_axis(key))
+        # per-shard loss is sum/B_local -> pmean == global sum/B_global
+        return jax.lax.pmean(loss, axis) if dp else loss
 
     def run(params, key, data_train, data_val, idx_stack, val_idx, best_on_disk0):
         opt_state = optimizer.init(params)
@@ -89,7 +110,10 @@ def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: 
 
             batch = _gather(data_train, idx_stack[(itr - 1) % idx_stack.shape[0]])
             key, k_step = jax.random.split(key)
-            loss, grads = jax.value_and_grad(loss_fn)(params, model, batch, k_step)
+            loss, grads = jax.value_and_grad(loss_fn)(params, model, batch, fold_axis(k_step))
+            if dp:
+                loss = jax.lax.pmean(loss, axis)
+                grads = jax.lax.pmean(grads, axis)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
 
@@ -146,20 +170,45 @@ def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: 
                     curve_val=cval, curve_tr=ctr, n_vals=n_vals, stop_nf=stop_nf,
                     n_iters=itr - 1)
 
-    return jax.jit(run)
+    if not dp:
+        return jax.jit(run)
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp_devices, axis_name=axis)
+    # The whole restart runs per-device in lockstep: every while_loop
+    # predicate is computed from pmean'd (hence replicated) values, so all
+    # shards take identical control-flow paths and the outputs replicate.
+    sharded = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, axis), P(None, axis), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
 
 
 def fused_training_loop(
     niters, data_generator, model, params, batch_size, lr, test_freq, key,
     best_on_disk=1e9, early_stop=5, path="model/", shuffle=True,
     train_fold="train", train_expert=False, verbose=True, curve_path=None,
-    events_path=None, val_criterion="elbo", val_t0=5,
+    events_path=None, val_criterion="elbo", val_t0=5, dp_devices=None,
 ):
-    """Drop-in replacement for variational_training_loop (single device).
+    """Drop-in replacement for variational_training_loop.
 
     Pre-draws the host RNG's batch-index stream, runs the restart as one
     device program, then replays logging/checkpointing from the returned
     buffers. Returns (params, best_on_disk, wall) like the host loop.
+
+    ``dp_devices``: run the restart data-parallel over that many devices
+    (mesh + shard_map inside the one compiled program). Batch and validation
+    chunk sizes must divide the device count.
+
+    Crash-durability note (vs the host loop): the best-so-far checkpoint is
+    written ONCE when the restart program returns, not on every validation
+    improvement — a process killed mid-restart loses that restart's best.
+    Set HYBRIDODE_FUSED=0 (or pass fused=False) to keep the host loop's
+    save-on-every-improvement behavior.
     """
     from ..utils import CSVCurveLogger, JSONLLogger
     from ..utils.hostrng import host_randint
@@ -190,9 +239,15 @@ def fused_training_loop(
     val_idx = np.stack([np.arange(c * batch_size, c * batch_size + vrow)
                         for c in range(val_chunks)]).astype(np.int32)
 
+    dp = int(dp_devices) if dp_devices else 0
+    if dp > 1:
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} not divisible by dp_devices {dp}")
+        if min(batch_size, val_n) % dp:
+            raise ValueError(f"validation chunk {min(batch_size, val_n)} not divisible by dp_devices {dp}")
     program = _cached_fused_program(
         model, float(lr), labels, val_criterion, int(val_t0), int(niters),
-        int(test_freq), int(early_stop), int(val_chunks))
+        int(test_freq), int(early_stop), int(val_chunks), dp)
     out = program(params, np.asarray(key), fold, data_generator._fold("val"),
                   idx_stack, val_idx, float(best_on_disk))
     out = {k: np.asarray(v) if not isinstance(v, dict) else v for k, v in out.items()}

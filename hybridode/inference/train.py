@@ -140,14 +140,26 @@ def variational_training_loop(
     (shard_map + pmean'd grads, hybridode/parallel/mesh.py) — step-for-step
     equivalent to single-device training with the same global batch. The
     batch size must be divisible by the device count.
+
+    `fused`: run each restart as ONE device program (inference/fused.py);
+    defaults on (also for DP), opt out via fused=False or HYBRIDODE_FUSED=0.
+    The fused program checkpoints once at end-of-restart instead of on every
+    validation improvement — opt out if crash-durability mid-restart matters.
     """
+    import os
+
     dp = dp_devices is not None and dp_devices > 1
     if fused is None:
-        fused = not dp
-    if fused and not dp and hasattr(data_generator, "_fold"):
+        # Default to the whole-restart device program (single-device AND DP).
+        # Opt out with HYBRIDODE_FUSED=0 — the host loop checkpoints on every
+        # validation improvement, so it is the crash-durable choice when a
+        # process may die mid-restart (the fused program saves once at end).
+        fused = os.environ.get("HYBRIDODE_FUSED", "1") != "0"
+    if fused and hasattr(data_generator, "_fold"):
         # Whole-restart device program: one dispatch, one read — immune to
         # the tunnel's D2H dispatch degradation (PERFORMANCE.md round 3).
-        # Bit-mirrors this host loop's batch-index and key-split streams.
+        # Bit-mirrors this host loop's batch-index and key-split streams;
+        # with dp_devices it composes shard_map DP inside the same program.
         from .fused import fused_training_loop
 
         return fused_training_loop(
@@ -156,7 +168,8 @@ def variational_training_loop(
             key=key, best_on_disk=best_on_disk, early_stop=early_stop,
             path=path, shuffle=shuffle, train_fold=train_fold,
             train_expert=train_expert, verbose=verbose, curve_path=curve_path,
-            events_path=events_path, val_criterion=val_criterion, val_t0=val_t0)
+            events_path=events_path, val_criterion=val_criterion, val_t0=val_t0,
+            dp_devices=dp_devices if dp else None)
     if dp:
         from ..parallel import make_dp_eval_loss, make_dp_train_step, make_mesh, replicate, shard_batch
 

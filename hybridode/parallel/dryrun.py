@@ -148,6 +148,7 @@ def run(n_devices: int) -> float:
     optimizer = make_optimizer(0.01, params)
     opt_state = optimizer.init(params)
 
+    params0 = params  # pinned host params, reused by the fused-DP section
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
     # T must match the decoder's output grid (t_max + 1 = 15).
@@ -222,6 +223,52 @@ def run(n_devices: int) -> float:
         for r, g in zip(ref, got):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6)
         print(f"dryrun 2D mesh flow eval parity OK")
+
+    # Fused whole-restart program composed with DP (inference/fused.py with
+    # dp_devices): the flagship multi-chip TRAINING path — the entire restart
+    # (Adam steps, chunked validation, early stop, best-params tracking) as
+    # one shard_map'd XLA program. Parity vs the host-driven DP loop on the
+    # identical batch-index / key-split streams.
+    import tempfile
+
+    from hybridode.inference import variational_training_loop
+
+    full = fake_batch(model, B=3 * n_devices, T=15, key=jax.random.PRNGKey(20))
+    n_train, n_total = 2 * n_devices, 3 * n_devices
+
+    class _DG:
+        train_size = n_train
+        val_size = n_devices
+
+        def get_mini_batch(self, fold, batch_size, rng):
+            import jax.numpy as jnp
+
+            idx = jnp.asarray(rng.choice(n_train, batch_size, replace=False))
+            return {k: jnp.take(v, idx, axis=1) for k, v in full.items()}
+
+        def get_split(self, fold, batch_size, chunk):
+            lo = n_train if fold == "val" else 0
+            return {k: v[:, lo + chunk * batch_size: lo + (chunk + 1) * batch_size]
+                    for k, v in full.items()}
+
+        def _fold(self, fold):
+            lo, hi = (n_train, n_total) if fold == "val" else (0, n_train)
+            return {k: v[:, lo:hi] for k, v in full.items()}
+
+    import numpy as _np
+
+    key_loop = _np.asarray(jax.random.PRNGKey(21))
+    best = {}
+    with tempfile.TemporaryDirectory() as td:
+        for mode, fused in [("host", False), ("fused", True)]:
+            _, best[mode], _ = variational_training_loop(
+                niters=4, data_generator=_DG(), model=model, params=params0,
+                batch_size=n_devices, lr=0.01, test_freq=2, key=key_loop,
+                path=td + f"/{mode}_", early_stop=10, verbose=False,
+                dp_devices=n_devices, fused=fused)
+    assert np.isfinite(best["fused"]), "fused-DP restart produced non-finite best loss"
+    np.testing.assert_allclose(best["fused"], best["host"], rtol=1e-5)
+    print(f"dryrun fused-DP whole-restart parity: best={best['fused']:.4f} OK")
     return loss
 
 

@@ -146,6 +146,89 @@ class TestDPTrainingLoop:
             params=params, path=str(tmp_path) + "/sd_", **kw)
         np.testing.assert_allclose(best_dp, best_1, rtol=1e-4)
 
+    def test_fused_dp_loop_matches_host_dp_loop(self, tmp_path):
+        """The whole-restart device program composed with DP (shard_map inside
+        the while_loop, inference/fused.py) bit-mirrors the host-driven DP
+        loop: same batch-index stream, same per-shard key folds, same pmean'd
+        losses — identical curve, best loss, and checkpointed parameters."""
+        from hybridode.inference import variational_training_loop
+
+        model = tiny_model(elbo=True)
+        params = init_vi(jax.random.PRNGKey(0), model)
+        full = tiny_batch(B=24)
+
+        class DG:
+            train_size = 16
+            val_size = 8
+
+            def get_mini_batch(self, fold, batch_size, rng):
+                idx = jnp.asarray(rng.choice(16, batch_size, replace=False))
+                return {k: jnp.take(v, idx, axis=1) for k, v in full.items()}
+
+            def get_split(self, fold, batch_size, chunk):
+                lo = 16 if fold == "val" else 0
+                return {k: v[:, lo + chunk * batch_size: lo + (chunk + 1) * batch_size]
+                        for k, v in full.items()}
+
+            def _fold(self, fold):
+                lo, hi = (16, 24) if fold == "val" else (0, 16)
+                return {k: v[:, lo:hi] for k, v in full.items()}
+
+        key = np.asarray(jax.random.PRNGKey(2))
+        curves, out = {}, {}
+        for mode, fused in [("host", False), ("fused", True)]:
+            path = str(tmp_path) + f"/{mode}_"
+            curves[mode] = str(tmp_path) + f"/{mode}_curve.csv"
+            out[mode] = variational_training_loop(
+                niters=6, data_generator=DG(), model=model, params=params,
+                batch_size=8, lr=0.01, test_freq=2, key=key, path=path,
+                early_stop=10, verbose=False, dp_devices=8, fused=fused,
+                curve_path=curves[mode])
+        p_host, best_host, _ = out["host"]
+        p_fused, best_fused, _ = out["fused"]
+        assert np.isclose(best_host, best_fused, rtol=1e-5)
+        c_host = np.loadtxt(curves["host"], delimiter=",").reshape(-1, 3)
+        c_fused = np.loadtxt(curves["fused"], delimiter=",").reshape(-1, 3)
+        np.testing.assert_allclose(c_host, c_fused, rtol=2e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_host), jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_fused_dp_forecast_criterion_matches_host(self, tmp_path):
+        """forecast validation under DP: the fused program psums the masked-MSE
+        num/den terms — must match the host DP loop's global forecast loss."""
+        from hybridode.inference import variational_training_loop
+
+        model = tiny_model(elbo=False)
+        params = init_vi(jax.random.PRNGKey(0), model)
+        full = tiny_batch(B=24)
+
+        class DG:
+            train_size = 16
+            val_size = 8
+
+            def get_mini_batch(self, fold, batch_size, rng):
+                idx = jnp.asarray(rng.choice(16, batch_size, replace=False))
+                return {k: jnp.take(v, idx, axis=1) for k, v in full.items()}
+
+            def get_split(self, fold, batch_size, chunk):
+                lo = 16 if fold == "val" else 0
+                return {k: v[:, lo + chunk * batch_size: lo + (chunk + 1) * batch_size]
+                        for k, v in full.items()}
+
+            def _fold(self, fold):
+                lo, hi = (16, 24) if fold == "val" else (0, 16)
+                return {k: v[:, lo:hi] for k, v in full.items()}
+
+        key = np.asarray(jax.random.PRNGKey(2))
+        out = {}
+        for mode, fused in [("host", False), ("fused", True)]:
+            out[mode] = variational_training_loop(
+                niters=4, data_generator=DG(), model=model, params=params,
+                batch_size=8, lr=0.01, test_freq=2, key=key,
+                path=str(tmp_path) + f"/{mode}_", early_stop=10, verbose=False,
+                dp_devices=8, fused=fused, val_criterion="forecast", val_t0=2)
+        assert np.isclose(out["host"][1], out["fused"][1], rtol=1e-5)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
