@@ -87,7 +87,12 @@ def odeint(func, y0, t, rtol=1e-7, atol=1e-8, method="dopri5", options=None):
             f0 = ks[6]
         factor = float(torch.clamp(0.9 * norm.pow(-0.2), 0.2, 10.0)) if float(norm) > 0 else 10.0
         h = h * factor
-    while next_idx < len(t):
-        out.append(y)
-        next_idx += 1
+    if next_idx < len(t):
+        # Mirror torchdiffeq's max_num_steps assertion: a stalled integration
+        # must raise, not return plausible-looking padded trajectories (the
+        # reference training loop catches RuntimeError gracefully,
+        # training_utils.py:43-47).
+        raise RuntimeError(
+            f"dopri5 exhausted its 20000-iteration budget at t={float(tt):.6g} "
+            f"before reaching t[-1]={float(t_final):.6g}")
     return torch.stack(out)

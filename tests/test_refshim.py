@@ -41,6 +41,22 @@ def test_shim_dopri5_matches_scipy():
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
 
 
+def test_shim_dopri5_raises_on_budget_exhaustion():
+    """A stalled integration must raise (mirroring torchdiffeq's
+    max_num_steps assertion), not silently pad the output grid with the
+    last reached state — padded trajectories would corrupt the control
+    experiments the parity claims rest on."""
+    from torchdiffeq import odeint  # the shim
+
+    def blowup(t, y):
+        return y * y  # finite-time singularity at t=1 for y0=1
+
+    y0 = torch.tensor([1.0], dtype=torch.float64)
+    ts = torch.linspace(0.0, 2.0, 5, dtype=torch.float64)
+    with pytest.raises(RuntimeError, match="budget"):
+        odeint(blowup, y0, ts, rtol=1e-7, atol=1e-8)
+
+
 def test_shim_crps_matches_bruteforce():
     from properscoring import crps_ensemble  # the shim
 
