@@ -211,9 +211,35 @@ def odeint_dopri5_adjoint(
     than `max_record`, gradients exclude the overflow steps and the returned
     `stats.recorded_all` is False — size the buffer at the observed
     per-trajectory accepted count plus margin and check the flag.
+
+    When `max_record < max_steps` (the only configuration where truncation is
+    possible — accepted steps never exceed the trial budget), a host callback
+    additionally raises a RuntimeWarning at runtime whenever a solve overflows
+    the record, so truncated-gradient training cannot pass silently. The
+    callback is not inserted at all for the safe default, keeping the hot
+    path free of host traffic.
     """
     if max_record is None:
         max_record = max_steps
     ts = jnp.asarray(ts, y0.dtype)
-    return _odeint_adjoint(field, y0, ts, args, rtol, atol, max_steps, max_record,
-                           None if barriers is None else tuple(jnp.asarray(barriers).tolist()))
+    out, stats = _odeint_adjoint(field, y0, ts, args, rtol, atol, max_steps, max_record,
+                                 None if barriers is None else tuple(jnp.asarray(barriers).tolist()))
+    if max_record < max_steps:
+        jax.debug.callback(_warn_record_overflow, stats.recorded_all)
+    return out, stats
+
+
+def _warn_record_overflow(recorded_all):
+    import warnings
+
+    import numpy as np
+
+    if not np.all(np.asarray(recorded_all)):
+        warnings.warn(
+            "odeint_dopri5_adjoint: a solve accepted more steps than max_record; "
+            "backward-pass gradients silently exclude the overflow steps "
+            "(stats.recorded_all=False). Raise max_record (it defaults to "
+            "max_steps, which can never truncate).",
+            RuntimeWarning,
+            stacklevel=2,
+        )

@@ -4,9 +4,16 @@ Replaces `torchdiffeq.odeint(..., method="dopri5")` (reference:
 model.py:1116-1118, rtol=1e-7/atol=1e-8 at model.py:1079-1080). Design is
 idiomatic JAX/XLA rather than a translation:
 
-* the full batch advances in lockstep with a single step-size controller
-  driven by the batch RMS error norm (same semantics as torchdiffeq, which
-  also adapts one step size for the whole batched state);
+* step-size control (authoritative statement — README links here): THIS
+  function advances whatever state it is given in lockstep, with a single
+  controller driven by the RMS error norm over the full state (torchdiffeq
+  semantics, which also adapts one step size for the whole batched state).
+  The sim decoder, however, `vmap`s a per-patient solve over the batch
+  (decoders.py sim_decoder_apply), giving every patient an independent
+  controller — that per-sample control is the framework's SHIPPED DEFAULT
+  (cli/run_simulation.py --step_control=per_sample). Lockstep over the
+  batch is opt-in via --step_control=lockstep, served by the while_loop
+  adjoint solver;
 * stepping runs inside a bounded `lax.scan` with masked dead iterations, so
   the integrator is reverse-mode differentiable end to end
   (discretize-then-optimize, matching the reference's

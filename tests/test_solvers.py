@@ -161,6 +161,39 @@ class TestAdjoint:
                                          max_record=n_acc)
         assert bool(st_ok.recorded_all)
 
+    def test_max_record_overflow_warns_at_runtime(self):
+        # Truncated-gradient training must not pass silently: with
+        # max_record < max_steps, overflowing the record raises a
+        # RuntimeWarning from a host callback — through jit and grad.
+        import warnings
+
+        from hybridode.solvers import odeint_dopri5_adjoint
+
+        def loss(y0):
+            ys, _ = odeint_dopri5_adjoint(exp_decay, y0, TS, 0.7, rtol=1e-7,
+                                          atol=1e-9, max_steps=64, max_record=3)
+            return jnp.sum(ys**2)
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            g = jax.jit(jax.grad(loss))(jnp.array([[1.0, 2.0]]))
+            jax.block_until_ready(g)
+            jax.effects_barrier()
+        assert any("max_record" in str(w.message) for w in caught)
+
+        # Safe sizing (max_record defaults to max_steps): no warning at all.
+        def loss_ok(y0):
+            ys, _ = odeint_dopri5_adjoint(exp_decay, y0, TS, 0.7, rtol=1e-7,
+                                          atol=1e-9, max_steps=64)
+            return jnp.sum(ys**2)
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            g = jax.jit(jax.grad(loss_ok))(jnp.array([[1.0, 2.0]]))
+            jax.block_until_ready(g)
+            jax.effects_barrier()
+        assert not any("max_record" in str(w.message) for w in caught)
+
     def test_grad_analytic(self):
         from hybridode.solvers import odeint_dopri5_adjoint
 
