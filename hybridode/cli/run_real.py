@@ -67,6 +67,7 @@ def run(
     test_size=1000,
     standin_kwargs=None,
     model_dir="model/",
+    curve_path=None,
 ):
     common.enable_compile_cache()
     key = host_key(seed)
@@ -93,7 +94,7 @@ def run(
         params, _, _ = variational_training_loop(
             niters=niters, data_generator=dg, model=model, params=params, batch_size=batch_size,
             lr=0.01, test_freq=100, key=k_train, path=path, best_on_disk=1e9,
-            early_stop=10, shuffle=False, train_expert=True,
+            early_stop=10, shuffle=False, train_expert=True, curve_path=curve_path,
         )
     else:
         params, _, best_loss = load_checkpoint(path, model.model_name)
@@ -131,6 +132,8 @@ def main(argv=None):
     parser.add_argument("--eval_only", default=False, type=bool)
     parser.add_argument("--data_path", default="data/", type=str)
     parser.add_argument("--standin", default="n", type=str)
+    parser.add_argument("--curve_path", default=None, type=str,
+                        help="write iter,val_loss,train_loss CSV for this run")
     args = parser.parse_args(argv)
 
     run(
@@ -138,7 +141,7 @@ def main(argv=None):
         ode_method=args.ode_method, ode_step_div=args.ode_step_div,
         encoder_output_dim=args.encoder_output_dim, encoder_latent_ratio=args.encoder_latent_ratio,
         weight=args.weight == "y", eval_only=args.eval_only, data_path=args.data_path,
-        standin=args.standin == "y",
+        standin=args.standin == "y", curve_path=args.curve_path,
     )
 
 
