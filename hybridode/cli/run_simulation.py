@@ -40,6 +40,8 @@ def run(
     dp_devices: int | None = None,
     eval_mesh: tuple[int, int] | None = None,
     lockstep: bool = False,
+    restart_mode: str = "seq",
+    restart_devices: int | None = None,
 ):
     common.enable_compile_cache()
     key = host_key(seed)
@@ -63,38 +65,69 @@ def run(
     best_on_disk = 1e9
     params = None
 
-    for i in range(optim_config.n_restart):
-        key, k_init, k_train = host_split(key, 3)
-        params = init_vi(k_init, model)
+    if restart_mode != "seq" and not eval_only and init_path is None:
+        # Batched multi-restart experiment: ALL restarts run as ONE device
+        # program (vmap over the restart axis; "shard" additionally spreads
+        # restarts across a device mesh with zero collectives). Key chain is
+        # identical to the sequential loop below, draw for draw.
+        from ..inference.fused import fused_experiment_loop
 
-        if eval_only:
-            break
-
-        if init_path is not None:
-            params, _, _ = load_checkpoint(init_path, model.model_name)
-            params = jax.tree_util.tree_map(jax.numpy.asarray, params)
-
-        params, best_on_disk, _ = variational_training_loop(
+        restart_keys = []
+        for i in range(optim_config.n_restart):
+            key, k_init, k_train = host_split(key, 3)
+            restart_keys.append((k_init, k_train))
+        params, best_on_disk, _ = fused_experiment_loop(
             niters=niters,
             data_generator=dg,
             model=model,
-            params=params,
+            restart_keys=restart_keys,
             batch_size=optim_config.batch_size,
             lr=optim_config.lr,
             test_freq=optim_config.test_freq,
-            key=k_train,
             path=path,
             best_on_disk=best_on_disk,
             early_stop=optim_config.early_stop,
             shuffle=optim_config.shuffle,
             val_criterion=val_criterion,
             val_t0=eval_config.t0,
-            # Curve/event logs capture the LAST restart's trajectory (the
-            # reference's exp_lhm.csv is a restart=1 run, Fig9.ipynb).
             curve_path=curve_path,
             events_path=events_path,
-            dp_devices=dp_devices,
+            restart_devices=(restart_devices or optim_config.n_restart)
+            if restart_mode == "shard" else None,
         )
+    else:
+        for i in range(optim_config.n_restart):
+            key, k_init, k_train = host_split(key, 3)
+            params = init_vi(k_init, model)
+
+            if eval_only:
+                break
+
+            if init_path is not None:
+                params, _, _ = load_checkpoint(init_path, model.model_name)
+                params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+
+            params, best_on_disk, _ = variational_training_loop(
+                niters=niters,
+                data_generator=dg,
+                model=model,
+                params=params,
+                batch_size=optim_config.batch_size,
+                lr=optim_config.lr,
+                test_freq=optim_config.test_freq,
+                key=k_train,
+                path=path,
+                best_on_disk=best_on_disk,
+                early_stop=optim_config.early_stop,
+                shuffle=optim_config.shuffle,
+                val_criterion=val_criterion,
+                val_t0=eval_config.t0,
+                # Curve/event logs capture the LAST restart's trajectory (the
+                # reference's exp_lhm.csv is a restart=1 run, Fig9.ipynb).
+                curve_path=curve_path,
+                events_path=events_path,
+                dp_devices=dp_devices,
+            )
 
     if eval_only:
         params, _, best_loss = load_checkpoint(path, model.model_name)
@@ -147,6 +180,13 @@ def build_parser():
                              "semantics — for step-space parity A/Bs)")
     parser.add_argument("--dp", default=0, type=int,
                         help="data-parallel device count (0/1 = single device)")
+    parser.add_argument("--restart_mode", choices=["seq", "vmap", "shard"], default="seq",
+                        type=str,
+                        help="seq: one fused program per restart (default); vmap: ALL "
+                             "restarts batched into one device program; shard: vmap + "
+                             "restarts spread over a device mesh (zero collectives)")
+    parser.add_argument("--restart_devices", default=0, type=int,
+                        help="device count for --restart_mode=shard (default n_restart)")
     parser.add_argument("--eval_mesh", default=None, type=str,
                         help="'DPxMC' (e.g. 4x2): evaluate on a 2-D patients-x-MC device mesh")
     return parser
@@ -177,6 +217,8 @@ def main(argv=None):
         dp_devices=args.dp if args.dp > 1 else None,
         eval_mesh=tuple(int(x) for x in args.eval_mesh.split("x")) if args.eval_mesh else None,
         lockstep=args.step_control == "lockstep",
+        restart_mode=args.restart_mode,
+        restart_devices=args.restart_devices or None,
     )
 
 

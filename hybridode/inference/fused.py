@@ -48,22 +48,17 @@ def _gather(data, idx):
     return {k: jnp.take(v, idx, axis=1) for k, v in data.items()}
 
 
-@functools.lru_cache(maxsize=32)
-def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: str,
-                          val_t0: int, niters: int, test_freq: int, early_stop: int,
-                          n_val_chunks: int, dp_devices: int = 0):
-    """Compile one whole-restart program per (model, protocol) combination.
+def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
+              val_t0: int, niters: int, test_freq: int, early_stop: int,
+              dp_devices: int = 0):
+    """Build the pure whole-restart function (no jit/sharding applied).
 
-    The restart loop re-enters with identical settings; lru_cache keeps the
-    jitted program (and its executable) alive across restarts and sweep
-    repetitions in the same process.
-
-    ``dp_devices > 1`` composes the whole-restart program with batch data
-    parallelism: the ENTIRE while_loop runs inside shard_map over a 1-D
-    "data" mesh — folds replicated, mini-batch index columns sharded, grads
-    and losses pmean'd exactly like parallel/mesh.py's per-step DP — so
-    multi-chip training is still one dispatch per restart (no host-driven
-    degraded-dispatch fallback).
+    Signature of the returned ``run``:
+    ``run(params, key, data_train, data_val, idx_stack, val_idx,
+    best_on_disk0) -> dict``. Reused by three compilation strategies:
+    jit (single device), shard_map over a "data" mesh (batch DP), and
+    vmap over a leading restart axis (batched multi-restart experiment,
+    optionally shard_map'd over a "restart" mesh).
     """
     dp = dp_devices > 1
     axis = "data"
@@ -170,6 +165,31 @@ def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: 
                     curve_val=cval, curve_tr=ctr, n_vals=n_vals, stop_nf=stop_nf,
                     n_iters=itr - 1)
 
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: str,
+                          val_t0: int, niters: int, test_freq: int, early_stop: int,
+                          n_val_chunks: int, dp_devices: int = 0):
+    """Compile one whole-restart program per (model, protocol) combination.
+
+    The restart loop re-enters with identical settings; lru_cache keeps the
+    jitted program (and its executable) alive across restarts and sweep
+    repetitions in the same process.
+
+    ``dp_devices > 1`` composes the whole-restart program with batch data
+    parallelism: the ENTIRE while_loop runs inside shard_map over a 1-D
+    "data" mesh — folds replicated, mini-batch index columns sharded, grads
+    and losses pmean'd exactly like parallel/mesh.py's per-step DP — so
+    multi-chip training is still one dispatch per restart (no host-driven
+    degraded-dispatch fallback).
+    """
+    dp = dp_devices > 1
+    run = _make_run(model, lr, labels_key, val_criterion, val_t0, niters,
+                    test_freq, early_stop, dp_devices)
+    axis = "data"
+
     if not dp:
         return jax.jit(run)
 
@@ -186,6 +206,174 @@ def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: 
         in_specs=(P(), P(), P(), P(), P(None, axis), P(None, axis), P()),
         out_specs=P(), check_vma=False)
     return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_experiment_program(model: VIModel, lr: float, labels_key, val_criterion: str,
+                               val_t0: int, niters: int, test_freq: int, early_stop: int,
+                               n_restart: int, restart_devices: int = 0):
+    """Compile the ENTIRE multi-restart experiment as one batched program.
+
+    Restarts are independent until the final cross-restart argmin (the
+    reference's best-on-disk threading, run_simulation.py:95-145, selects
+    the same checkpoint), so instead of 5 sequential whole-restart
+    dispatches the restart axis becomes a *batch axis*:
+
+      * ``vmap`` of the whole-restart ``while_loop`` — JAX batches the loop
+        by running until every lane's predicate is false and ``select``-ing
+        finished lanes' carries, which is exactly per-restart early stop
+        with frozen state;
+      * with ``restart_devices > 1`` the vmapped program is additionally
+        ``shard_map``'d over a 1-D "restart" mesh — each chip trains its
+        own restarts with ZERO collectives (trip counts may diverge per
+        shard; no communication happens inside the loop), the only
+        cross-chip interaction being the host-side argmin at the end.
+
+    This is restart-level parallelism the reference cannot express: its
+    restart loop is inherently sequential host code.
+    """
+    run = _make_run(model, lr, labels_key, val_criterion, val_t0, niters,
+                    test_freq, early_stop, dp_devices=0)
+    batched = jax.vmap(run, in_axes=(0, 0, None, None, 0, None, None))
+    if restart_devices > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        axis = "restart"
+        mesh = make_mesh(restart_devices, axis_name=axis)
+        batched = jax.shard_map(
+            batched, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(), P(axis), P(), P()),
+            out_specs=P(axis), check_vma=False)
+    return jax.jit(batched)
+
+
+def fused_experiment_loop(
+    niters, data_generator, model, restart_keys, batch_size, lr, test_freq,
+    best_on_disk=1e9, early_stop=5, path="model/", shuffle=True,
+    train_fold="train", train_expert=False, verbose=True, curve_path=None,
+    events_path=None, val_criterion="elbo", val_t0=5, restart_devices=None,
+):
+    """Run the whole n-restart experiment as ONE batched device program.
+
+    ``restart_keys``: list of ``(k_init, k_train)`` pairs, one per restart,
+    drawn with the same ``host_split`` chain as the sequential CLI loop
+    (cli/run_simulation.py) so initializations and batch-index streams are
+    identical draw-for-draw. Selection semantics match the sequential
+    best-on-disk threading: each lane tracks its own best validation loss;
+    the cross-restart winner is the argmin (first occurrence on ties, like
+    the host loop's strict-improvement rule), checkpointed once at the end.
+
+    ``restart_devices``: shard the restart axis over that many devices
+    (must divide ``len(restart_keys)``); each device trains its share of
+    restarts with no collectives.
+
+    Returns ``(params, best_on_disk, wall)`` like the sequential loop after
+    its final restart.
+    """
+    from ..utils import CSVCurveLogger, JSONLLogger
+    from ..utils.hostrng import host_randint
+    from .elbo import init_vi
+    from .train import _HashableTree, param_labels
+
+    n_restart = len(restart_keys)
+    rd = int(restart_devices) if restart_devices else 0
+    if rd > 1 and n_restart % rd:
+        raise ValueError(f"n_restart {n_restart} not divisible by restart_devices {rd}")
+
+    fold = data_generator._fold(train_fold)
+    fold_n = fold["measurements"].shape[1]
+    fold_size = data_generator.train_size if train_fold == "train" else data_generator.val_size
+    train_chunk = max(1, fold_size // batch_size)
+    val_chunks = max(1, data_generator.val_size // batch_size)
+    val_n = data_generator._fold("val")["measurements"].shape[1]
+
+    start = time.time()
+
+    # Per-restart init + the exact host RNG batch-index stream per lane.
+    params_list, idx_list, tkeys = [], [], []
+    for k_init, k_train in restart_keys:
+        params_list.append(init_vi(k_init, model))
+        rng = np.random.RandomState(host_randint(k_train, 0, 2**31 - 1))
+        if shuffle:
+            idx = np.stack([rng.choice(fold_n, batch_size, replace=False)
+                            for _ in range(niters)])
+        else:
+            row = min(batch_size, fold_n)
+            chunks = np.stack([np.arange(c * batch_size, c * batch_size + row)
+                               for c in range(train_chunk)])
+            idx = chunks[(np.arange(1, niters + 1)) % train_chunk]
+        idx_list.append(idx.astype(np.int32))
+        tkeys.append(np.asarray(k_train))
+    params_st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+    idx_st = np.stack(idx_list)
+    keys_st = np.stack(tkeys)
+    vrow = min(batch_size, val_n)
+    val_idx = np.stack([np.arange(c * batch_size, c * batch_size + vrow)
+                        for c in range(val_chunks)]).astype(np.int32)
+
+    labels = _HashableTree(param_labels(params_list[0], train_expert))
+    program = _cached_experiment_program(
+        model, float(lr), labels, val_criterion, int(val_t0), int(niters),
+        int(test_freq), int(early_stop), n_restart, rd)
+    # Each lane tracks its own best from 1e9; the cross-restart comparison
+    # (the sequential loop's best_on_disk threading) happens at selection.
+    out = program(params_st, keys_st, fold, data_generator._fold("val"),
+                  idx_st, val_idx, 1e9)
+    out = {k: np.asarray(v) for k, v in out.items() if not isinstance(v, dict)} | {
+        k: v for k, v in out.items() if isinstance(v, dict)}
+
+    wall = time.time() - start
+
+    # Replay the sequential loops' logging contract restart-by-restart.
+    # Curve CSV keeps the LAST restart only (the sequential CLI re-opens the
+    # file per restart, so the final restart's curve is what survives).
+    events = JSONLLogger(events_path)
+    best_per = np.asarray(out["best_od"])
+    for r in range(n_restart):
+        n_vals = int(out["n_vals"][r])
+        for i in range(n_vals):
+            it = int(out["curve_it"][r][i])
+            tv, tr = float(out["curve_val"][r][i]), float(out["curve_tr"][r][i])
+            if verbose:
+                print("Iter {:04d} | Total Loss {:.6f} | Train Loss {:.6f}".format(it, tv, tr))
+            events.log("val", restart=r, itr=it, val_loss=tv, train_loss=tr)
+        if bool(out["stop_nf"][r]) and verbose:
+            print("non-finite training loss; stopping this restart")
+    if curve_path:
+        curve = CSVCurveLogger(curve_path)
+        r_last = n_restart - 1
+        for i in range(int(out["n_vals"][r_last])):
+            curve.log(int(out["curve_it"][r_last][i]),
+                      float(out["curve_val"][r_last][i]),
+                      float(out["curve_tr"][r_last][i]))
+        curve.close()
+
+    r_star = int(np.argmin(best_per))
+    if bool(out["improved"][r_star]) and float(best_per[r_star]) < best_on_disk:
+        best_on_disk = float(best_per[r_star])
+        best_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[r_star], out["best_params"])
+        ckpt.save_checkpoint(path, model.model_name, best_params,
+                             int(out["best_itr"][r_star]), best_on_disk)
+    events.log("done", wall=wall, best_on_disk=float(best_on_disk))
+    events.close()
+
+    try:
+        best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)
+    except FileNotFoundError:
+        # No restart ever validated finitely: the sequential loop would have
+        # saved restart 0's final state at itr 0 as the fallback.
+        fallback = jax.tree_util.tree_map(lambda x: np.asarray(x)[0], out["final_params"])
+        ckpt.save_checkpoint(path, model.model_name, fallback, 0, best_on_disk)
+        best_params, _, best_on_disk = ckpt.load_checkpoint(path, model.model_name)
+
+    params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    if verbose:
+        print("Time: {}".format(wall))
+        print("Overall best loss: {:.6f}".format(best_on_disk))
+    return params, best_on_disk, wall
 
 
 def fused_training_loop(

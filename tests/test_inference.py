@@ -221,6 +221,70 @@ class TestTrainingLoop:
                         jax.tree_util.tree_leaves(out["fused"][0])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    def _run_sequential_experiment(self, model, gen, restart_keys, path, **kw):
+        """The CLI's sequential restart chain (cli/run_simulation.py):
+        init per restart, thread best_on_disk through the fused loop."""
+        best = 1e9
+        params = None
+        for k_init, k_train in restart_keys:
+            params = init_vi(k_init, model)
+            params, best, _ = variational_training_loop(
+                data_generator=gen, model=model, params=params, key=k_train,
+                path=path, best_on_disk=best, verbose=False, fused=True, **kw)
+        return params, best
+
+    def test_fused_experiment_matches_sequential_restarts(self, tmp_path):
+        """The batched multi-restart program (vmap of the whole-restart
+        while_loop, fused_experiment_loop) selects the same checkpoint with
+        the same best loss as the sequential restart chain — restart
+        parallelism must not change results."""
+        from hybridode.inference.fused import fused_experiment_loop
+        from hybridode.utils.hostrng import host_key, host_split
+
+        model = tiny_sim_model()
+        gen = _FakeGenerator(jax.random.PRNGKey(1))
+        key = host_key(7)
+        restart_keys = []
+        for _ in range(3):
+            key, k_init, k_train = host_split(key, 3)
+            restart_keys.append((k_init, k_train))
+        kw = dict(niters=6, batch_size=8, lr=0.01, test_freq=3, early_stop=10)
+
+        p_seq, best_seq = self._run_sequential_experiment(
+            model, gen, restart_keys, str(tmp_path) + "/seq_", **kw)
+        p_bat, best_bat, _ = fused_experiment_loop(
+            data_generator=gen, model=model, restart_keys=restart_keys,
+            path=str(tmp_path) + "/bat_", verbose=False, **kw)
+
+        assert np.isclose(best_seq, best_bat, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_seq), jax.tree_util.tree_leaves(p_bat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_fused_experiment_sharded_restarts(self, tmp_path):
+        """--restart_mode=shard: the vmapped experiment shard_map'd over a
+        'restart' mesh (2 of the 8 CPU devices) returns the same selection
+        as the unsharded vmap program."""
+        from hybridode.inference.fused import fused_experiment_loop
+        from hybridode.utils.hostrng import host_key, host_split
+
+        model = tiny_sim_model()
+        gen = _FakeGenerator(jax.random.PRNGKey(1))
+        key = host_key(11)
+        restart_keys = []
+        for _ in range(4):
+            key, k_init, k_train = host_split(key, 3)
+            restart_keys.append((k_init, k_train))
+        kw = dict(niters=6, batch_size=8, lr=0.01, test_freq=3, early_stop=10)
+
+        _, best_v, _ = fused_experiment_loop(
+            data_generator=gen, model=model, restart_keys=restart_keys,
+            path=str(tmp_path) + "/v_", verbose=False, **kw)
+        p_s, best_s, _ = fused_experiment_loop(
+            data_generator=gen, model=model, restart_keys=restart_keys,
+            path=str(tmp_path) + "/s_", verbose=False, restart_devices=2, **kw)
+        assert np.isclose(best_v, best_s, rtol=1e-5)
+        assert os.path.exists(str(tmp_path) + "/s_" + model.model_name)
+
     def test_fused_loop_early_stop_and_nonfinite_gate(self, tmp_path):
         """Fused loop stops early (counter semantics) and survives a
         non-finite loss by aborting the restart like the host loop."""
