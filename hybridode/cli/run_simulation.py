@@ -65,7 +65,18 @@ def run(
     best_on_disk = 1e9
     params = None
 
-    if restart_mode != "seq" and not eval_only and init_path is None:
+    if restart_mode != "seq":
+        if dp_devices:
+            raise ValueError(
+                "--restart_mode=vmap/shard does not compose with --dp (the "
+                "batched experiment trains each restart single-device); use "
+                "--restart_mode=shard to spread restarts over the mesh instead")
+        if init_path is not None and not eval_only:
+            raise ValueError(
+                "--restart_mode=vmap/shard does not support --init warm starts; "
+                "use the default --restart_mode=seq")
+
+    if restart_mode != "seq" and not eval_only:
         # Batched multi-restart experiment: ALL restarts run as ONE device
         # program (vmap over the restart axis; "shard" additionally spreads
         # restarts across a device mesh with zero collectives). Key chain is

@@ -48,6 +48,39 @@ def _gather(data, idx):
     return {k: jnp.take(v, idx, axis=1) for k, v in data.items()}
 
 
+def _fold_geometry(data_generator, batch_size, train_fold):
+    """Fold tensors + chunk counts shared by both fused loops."""
+    fold = data_generator._fold(train_fold)
+    fold_n = fold["measurements"].shape[1]
+    fold_size = (data_generator.train_size if train_fold == "train"
+                 else data_generator.val_size)
+    train_chunk = max(1, fold_size // batch_size)
+    val_chunks = max(1, data_generator.val_size // batch_size)
+    val_n = data_generator._fold("val")["measurements"].shape[1]
+    return fold, fold_n, train_chunk, val_chunks, val_n
+
+
+def _predraw_train_idx(rng, fold_n, train_chunk, niters, batch_size, shuffle):
+    """The host loop's batch-index stream, pre-drawn (identical draws).
+
+    This is THE parity contract between the host, fused, and batched loops —
+    shared so a fix to the stream cannot diverge between them.
+    """
+    if shuffle:
+        return np.stack([rng.choice(fold_n, batch_size, replace=False)
+                         for _ in range(niters)]).astype(np.int32)
+    row = min(batch_size, fold_n)
+    chunks = np.stack([np.arange(c * batch_size, c * batch_size + row)
+                       for c in range(train_chunk)])
+    return chunks[(np.arange(1, niters + 1)) % train_chunk].astype(np.int32)
+
+
+def _predraw_val_idx(val_n, batch_size, val_chunks):
+    vrow = min(batch_size, val_n)
+    return np.stack([np.arange(c * batch_size, c * batch_size + vrow)
+                     for c in range(val_chunks)]).astype(np.int32)
+
+
 def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
               val_t0: int, niters: int, test_freq: int, early_stop: int,
               dp_devices: int = 0):
@@ -282,12 +315,8 @@ def fused_experiment_loop(
     if rd > 1 and n_restart % rd:
         raise ValueError(f"n_restart {n_restart} not divisible by restart_devices {rd}")
 
-    fold = data_generator._fold(train_fold)
-    fold_n = fold["measurements"].shape[1]
-    fold_size = data_generator.train_size if train_fold == "train" else data_generator.val_size
-    train_chunk = max(1, fold_size // batch_size)
-    val_chunks = max(1, data_generator.val_size // batch_size)
-    val_n = data_generator._fold("val")["measurements"].shape[1]
+    fold, fold_n, train_chunk, val_chunks, val_n = _fold_geometry(
+        data_generator, batch_size, train_fold)
 
     start = time.time()
 
@@ -296,22 +325,13 @@ def fused_experiment_loop(
     for k_init, k_train in restart_keys:
         params_list.append(init_vi(k_init, model))
         rng = np.random.RandomState(host_randint(k_train, 0, 2**31 - 1))
-        if shuffle:
-            idx = np.stack([rng.choice(fold_n, batch_size, replace=False)
-                            for _ in range(niters)])
-        else:
-            row = min(batch_size, fold_n)
-            chunks = np.stack([np.arange(c * batch_size, c * batch_size + row)
-                               for c in range(train_chunk)])
-            idx = chunks[(np.arange(1, niters + 1)) % train_chunk]
-        idx_list.append(idx.astype(np.int32))
+        idx_list.append(_predraw_train_idx(
+            rng, fold_n, train_chunk, niters, batch_size, shuffle))
         tkeys.append(np.asarray(k_train))
     params_st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
     idx_st = np.stack(idx_list)
     keys_st = np.stack(tkeys)
-    vrow = min(batch_size, val_n)
-    val_idx = np.stack([np.arange(c * batch_size, c * batch_size + vrow)
-                        for c in range(val_chunks)]).astype(np.int32)
+    val_idx = _predraw_val_idx(val_n, batch_size, val_chunks)
 
     labels = _HashableTree(param_labels(params_list[0], train_expert))
     program = _cached_experiment_program(
@@ -351,6 +371,18 @@ def fused_experiment_loop(
         curve.close()
 
     r_star = int(np.argmin(best_per))
+    if not bool(out["improved"][0]):
+        # Lane 0 never validated finitely: the sequential chain's
+        # end-of-restart load would have surfaced a PRE-EXISTING checkpoint
+        # at `path` and threaded its loss as later restarts' save threshold
+        # (when lane 0 improves, the sequential chain saves over the
+        # pre-existing file before ever reading it — same as the plain
+        # comparison below).
+        try:
+            _, _, disk_best = ckpt.load_checkpoint(path, model.model_name)
+            best_on_disk = min(best_on_disk, float(disk_best))
+        except FileNotFoundError:
+            pass
     if bool(out["improved"][r_star]) and float(best_per[r_star]) < best_on_disk:
         best_on_disk = float(best_per[r_star])
         best_params = jax.tree_util.tree_map(
@@ -404,28 +436,15 @@ def fused_training_loop(
 
     labels = _HashableTree(param_labels(params, train_expert))
 
-    fold = data_generator._fold(train_fold)
-    fold_n = fold["measurements"].shape[1]
-    fold_size = data_generator.train_size if train_fold == "train" else data_generator.val_size
-    train_chunk = max(1, fold_size // batch_size)
-    val_chunks = max(1, data_generator.val_size // batch_size)
-    val_n = data_generator._fold("val")["measurements"].shape[1]
+    fold, fold_n, train_chunk, val_chunks, val_n = _fold_geometry(
+        data_generator, batch_size, train_fold)
 
     rng = np.random.RandomState(host_randint(key, 0, 2**31 - 1))
     start = time.time()
 
     # Host-side batch-index stream, identical to the host loop's draws.
-    if shuffle:
-        idx_stack = np.stack([rng.choice(fold_n, batch_size, replace=False)
-                              for _ in range(niters)]).astype(np.int32)
-    else:
-        row = min(batch_size, fold_n)
-        chunks = np.stack([np.arange(c * batch_size, c * batch_size + row)
-                           for c in range(train_chunk)]).astype(np.int32)
-        idx_stack = chunks[(np.arange(1, niters + 1)) % train_chunk]
-    vrow = min(batch_size, val_n)
-    val_idx = np.stack([np.arange(c * batch_size, c * batch_size + vrow)
-                        for c in range(val_chunks)]).astype(np.int32)
+    idx_stack = _predraw_train_idx(rng, fold_n, train_chunk, niters, batch_size, shuffle)
+    val_idx = _predraw_val_idx(val_n, batch_size, val_chunks)
 
     dp = int(dp_devices) if dp_devices else 0
     if dp > 1:

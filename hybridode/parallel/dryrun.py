@@ -271,46 +271,36 @@ def run(n_devices: int) -> float:
     print(f"dryrun fused-DP whole-restart parity: best={best['fused']:.4f} OK")
 
     # Batched multi-restart experiment sharded over a "restart" mesh
-    # (fused_experiment_loop, --restart_mode=shard): each device trains its
-    # own restarts with zero collectives; the cross-restart argmin happens on
-    # the host. Parity vs the sequential chain is covered by
+    # (--restart_mode=shard): each device trains its own restarts with zero
+    # collectives; the cross-restart argmin happens on the host. Parity vs
+    # the sequential chain is covered by
     # tests/test_inference.py::test_fused_experiment_*; here the sharded
-    # program must compile, run, and checkpoint a finite winner.
-    from hybridode.inference.fused import fused_experiment_loop
+    # program must compile and run two finite lanes. The raw program is
+    # driven directly (not via fused_experiment_loop) so every lane reuses
+    # the PINNED params0 — random per-lane inits blow up the expert dynamics
+    # on these shapes, exactly like the DP sections above.
+    from hybridode.inference.fused import _cached_experiment_program
+    from hybridode.inference.train import _HashableTree, param_labels
     from hybridode.utils.hostrng import host_key, host_split
 
     key_exp = host_key(22)
-    restart_keys = []
+    lane_keys = []
     for _ in range(2):
-        key_exp, k_init, k_train = host_split(key_exp, 3)
-        restart_keys.append((k_init, k_train))
-    with tempfile.TemporaryDirectory() as td:
-        # Lane inits must live in the pinned regime like params0 (random
-        # heads blow up the expert dynamics): reuse params0 for every lane
-        # by overriding the drawn inits through init-key equality — instead,
-        # simply run the neural-free path with the pinned params per lane.
-        from hybridode.inference.fused import _cached_experiment_program
-        from hybridode.inference.train import _HashableTree, param_labels
+        key_exp, _, k_train = host_split(key_exp, 3)
+        lane_keys.append(_np.asarray(k_train))
 
-        labels = _HashableTree(param_labels(params0, False))
-        program = _cached_experiment_program(
-            model, 0.01, labels, "elbo", 5, 2, 1, 10, 2, 2)
-        import jax.numpy as jnp
-
-        params_st = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x, x]), params0)
-        keys_st = _np.stack([_np.asarray(k) for _, k in restart_keys])
-        dgx = _DG()
-        foldx = dgx._fold("train")
-        idx_st = _np.stack([
-            _np.stack([_np.arange(n_devices), _np.arange(n_devices)]),
-            _np.stack([_np.arange(n_devices), _np.arange(n_devices)]),
-        ]).astype(_np.int32)
-        val_idx = _np.stack([_np.arange(n_devices)]).astype(_np.int32)
-        out = program(params_st, keys_st, foldx, dgx._fold("val"),
-                      idx_st, val_idx, 1e9)
-        best_lanes = _np.asarray(out["best_od"])
-        assert best_lanes.shape == (2,) and _np.isfinite(best_lanes).all(), best_lanes
+    labels = _HashableTree(param_labels(params0, False))
+    program = _cached_experiment_program(
+        model, 0.01, labels, "elbo", 5, 2, 1, 10, 2, 2)
+    params_st = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), params0)
+    dgx = _DG()
+    lane_idx = _np.stack([_np.arange(n_devices), _np.arange(n_devices)])
+    idx_st = _np.stack([lane_idx, lane_idx]).astype(_np.int32)
+    val_idx = _np.stack([_np.arange(n_devices)]).astype(_np.int32)
+    out = program(params_st, _np.stack(lane_keys), dgx._fold("train"),
+                  dgx._fold("val"), idx_st, val_idx, 1e9)
+    best_lanes = _np.asarray(out["best_od"])
+    assert best_lanes.shape == (2,) and _np.isfinite(best_lanes).all(), best_lanes
     print(f"dryrun sharded batched-restart experiment: best={best_lanes.min():.4f} OK")
     return loss
 

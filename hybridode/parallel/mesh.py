@@ -27,6 +27,10 @@ from ..inference.elbo import VIModel, loss_fn
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device '{axis_name}' mesh but only "
+                f"{len(devices)} devices are available")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
