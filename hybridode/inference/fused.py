@@ -116,6 +116,18 @@ def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
         # per-shard loss is sum/B_local -> pmean == global sum/B_global
         return jax.lax.pmean(loss, axis) if dp else loss
 
+    # The restart is structured as validation WINDOWS: an outer while_loop
+    # over `niters // test_freq` windows, an inner lax.scan of `test_freq`
+    # Adam steps, then ONE unconditional chunked validation per window. This
+    # is numerically identical to a per-iteration loop with a
+    # `cond(itr % test_freq == 0, validate)` — same ops, same order — but
+    # contains no lax.cond: under jax.vmap (the batched multi-restart
+    # experiment) cond lowers to run-both-branches + select, which would
+    # execute the FULL validation on every training iteration. The windowed
+    # form pays exactly one validation per test_freq steps in every mode.
+    n_windows = niters // test_freq
+    n_rem = niters - n_windows * test_freq
+
     def run(params, key, data_train, data_val, idx_stack, val_idx, best_on_disk0):
         opt_state = optimizer.init(params)
         curve_it = jnp.zeros((n_vals_cap,), jnp.int32)
@@ -132,71 +144,94 @@ def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
             key, losses = jax.lax.scan(chunk, key, val_idx)
             return key, jnp.sum(losses)
 
-        def body(c):
-            (itr, key, params, opt_state, best_run, counter, best_od, best_params,
-             best_itr, improved, cit, cval, ctr, n_vals, stop_nf) = c
-
+        def train_step(carry, itr):
+            # Host-loop parity: the step that OBSERVES a non-finite loss
+            # still applies its update (training_utils.py applies the Adam
+            # step before the finite gate); steps after a dead step freeze.
+            key, params, opt_state, alive, last_loss, last_itr = carry
             batch = _gather(data_train, idx_stack[(itr - 1) % idx_stack.shape[0]])
             key, k_step = jax.random.split(key)
             loss, grads = jax.value_and_grad(loss_fn)(params, model, batch, fold_axis(k_step))
             if dp:
                 loss = jax.lax.pmean(loss, axis)
                 grads = jax.lax.pmean(grads, axis)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(alive, n, o), new_params, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(alive, n, o), new_opt, opt_state)
+            last_loss = jnp.where(alive, loss, last_loss)
+            last_itr = jnp.where(alive, itr, last_itr)
+            alive = jnp.logical_and(alive, jnp.isfinite(loss))
+            return (key, params, opt_state, alive, last_loss, last_itr), None
 
-            finite = jnp.isfinite(loss)
-            is_val = jnp.logical_and(finite, itr % test_freq == 0)
+        def window_body(c):
+            (w, key, params, opt_state, best_run, counter, best_od, best_params,
+             best_itr, improved, cit, cval, ctr, n_vals, nf, last_itr) = c
+            itrs = (w - 1) * test_freq + jnp.arange(1, test_freq + 1, dtype=jnp.int32)
+            (key, params, opt_state, alive, tr_loss, last_itr), _ = jax.lax.scan(
+                train_step,
+                (key, params, opt_state, jnp.asarray(True), jnp.asarray(0.0, jnp.float32), last_itr),
+                itrs)
 
-            def do_val(op):
-                key, best_run, counter, best_od, best_params, best_itr, improved, \
-                    cit, cval, ctr, n_vals = op
-                key, total = val_total(params, key)
-                better_run = total < best_run
-                best_run = jnp.where(better_run, total, best_run)
-                counter = jnp.where(better_run, 0, counter + 1)
-                better_od = total < best_od
-                best_od = jnp.where(better_od, total, best_od)
-                best_params = jax.tree_util.tree_map(
-                    lambda b, p: jnp.where(better_od, p, b), best_params, params)
-                best_itr = jnp.where(better_od, itr, best_itr)
-                improved = jnp.logical_or(improved, better_od)
-                iv = itr // test_freq - 1
-                cit = cit.at[iv].set(itr)
-                cval = cval.at[iv].set(total.astype(jnp.float32))
-                ctr = ctr.at[iv].set(loss.astype(jnp.float32))
-                n_vals = n_vals + 1
-                return key, best_run, counter, best_od, best_params, best_itr, \
-                    improved, cit, cval, ctr, n_vals
+            # One validation per window; a lane that died mid-window skips it
+            # (the host loop never reaches the validation iteration).
+            key, total = val_total(params, key)
+            itr_end = w * test_freq
+            better_run = jnp.logical_and(alive, total < best_run)
+            best_run = jnp.where(better_run, total, best_run)
+            counter = jnp.where(alive, jnp.where(better_run, 0, counter + 1), counter)
+            better_od = jnp.logical_and(alive, total < best_od)
+            best_od = jnp.where(better_od, total, best_od)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better_od, p, b), best_params, params)
+            best_itr = jnp.where(better_od, itr_end, best_itr)
+            improved = jnp.logical_or(improved, better_od)
+            iv = w - 1
+            cit = cit.at[iv].set(jnp.where(alive, itr_end, cit[iv]))
+            cval = cval.at[iv].set(jnp.where(alive, total.astype(jnp.float32), cval[iv]))
+            ctr = ctr.at[iv].set(jnp.where(alive, tr_loss.astype(jnp.float32), ctr[iv]))
+            n_vals = n_vals + jnp.where(alive, 1, 0)
+            nf = jnp.logical_not(alive)
+            return (w + 1, key, params, opt_state, best_run, counter, best_od,
+                    best_params, best_itr, improved, cit, cval, ctr, n_vals, nf,
+                    last_itr)
 
-            op = (key, best_run, counter, best_od, best_params, best_itr, improved,
-                  cit, cval, ctr, n_vals)
-            (key, best_run, counter, best_od, best_params, best_itr, improved,
-             cit, cval, ctr, n_vals) = jax.lax.cond(is_val, do_val, lambda op: op, op)
-
-            stop_nf = jnp.logical_not(finite)
-            return (itr + 1, key, params, opt_state, best_run, counter, best_od,
-                    best_params, best_itr, improved, cit, cval, ctr, n_vals, stop_nf)
-
-        def cond(c):
-            itr, counter, stop_nf = c[0], c[5], c[14]
+        def window_cond(c):
+            w, counter, nf = c[0], c[5], c[14]
             return jnp.logical_and(
-                itr <= niters,
-                jnp.logical_and(counter < early_stop, jnp.logical_not(stop_nf)))
+                w <= n_windows,
+                jnp.logical_and(counter < early_stop, jnp.logical_not(nf)))
 
         init = (jnp.asarray(1, jnp.int32), jnp.asarray(key), params, opt_state,
                 jnp.asarray(1e9, jnp.float32), jnp.asarray(0, jnp.int32),
                 jnp.asarray(best_on_disk0, jnp.float32), params,
                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
                 curve_it, curve_val, curve_tr, jnp.asarray(0, jnp.int32),
-                jnp.asarray(False))
-        out = jax.lax.while_loop(cond, body, init)
-        (itr, _, params, _, _, _, best_od, best_params, best_itr, improved,
-         cit, cval, ctr, n_vals, stop_nf) = out
+                jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        out = jax.lax.while_loop(window_cond, window_body, init)
+        (_, key, params, opt_state, _, counter, best_od, best_params, best_itr,
+         improved, cit, cval, ctr, n_vals, nf, last_itr) = out
+
+        if n_rem:
+            # Trailing iterations past the last validation multiple (the host
+            # loop runs them unless early-stopped or dead; they change only
+            # final_params, never the checkpointed best).
+            running = jnp.logical_and(counter < early_stop, jnp.logical_not(nf))
+            itrs = n_windows * test_freq + jnp.arange(1, n_rem + 1, dtype=jnp.int32)
+            (key, params, opt_state, alive_tail, _, last_itr), _ = jax.lax.scan(
+                train_step,
+                (key, params, opt_state, running, jnp.asarray(0.0, jnp.float32), last_itr),
+                itrs)
+            # alive_tail False because `running` was False is NOT a
+            # non-finite stop; only a death while running is.
+            nf = jnp.logical_or(nf, jnp.logical_and(running, jnp.logical_not(alive_tail)))
+
         return dict(final_params=params, best_od=best_od, best_params=best_params,
                     best_itr=best_itr, improved=improved, curve_it=cit,
-                    curve_val=cval, curve_tr=ctr, n_vals=n_vals, stop_nf=stop_nf,
-                    n_iters=itr - 1)
+                    curve_val=cval, curve_tr=ctr, n_vals=n_vals, stop_nf=nf,
+                    n_iters=last_itr)
 
     return run
 
