@@ -221,6 +221,49 @@ class TestTrainingLoop:
                         jax.tree_util.tree_leaves(out["fused"][0])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    def test_fused_loop_matches_host_loop_remainder_iters(self, tmp_path):
+        """niters NOT divisible by test_freq: the windowed program's trailing
+        scan must run the post-validation iterations exactly like the host
+        loop (they change final_params, never the checkpointed best)."""
+        model = tiny_sim_model()
+        params = init_vi(jax.random.PRNGKey(0), model)
+        gen = _FakeGenerator(jax.random.PRNGKey(1))
+        key = np.asarray(jax.random.PRNGKey(2))
+        out = {}
+        for mode, fused in [("host", False), ("fused", True)]:
+            path = str(tmp_path) + f"/{mode}_"
+            out[mode] = variational_training_loop(
+                niters=7, data_generator=gen, model=model, params=params,
+                batch_size=8, lr=0.01, test_freq=3, key=key, path=path,
+                verbose=False, fused=fused,
+            )
+        assert np.isclose(out["host"][1], out["fused"][1], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(out["host"][0]),
+                        jax.tree_util.tree_leaves(out["fused"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+        # The trailing scan actually ran: drive the raw program and check it
+        # advanced past the last validation multiple (6) to iteration 7.
+        from hybridode.inference.fused import (
+            _cached_fused_program, _fold_geometry, _predraw_train_idx, _predraw_val_idx)
+        from hybridode.inference.train import _HashableTree, param_labels
+        from hybridode.utils.hostrng import host_randint
+
+        labels = _HashableTree(param_labels(params, False))
+        program = _cached_fused_program(model, 0.01, labels, "elbo", 5, 7, 3, 5, 1, 0)
+        fold, fold_n, train_chunk, val_chunks, val_n = _fold_geometry(gen, 8, "train")
+        rng = np.random.RandomState(host_randint(key, 0, 2**31 - 1))
+        idx = _predraw_train_idx(rng, fold_n, train_chunk, 7, 8, True)
+        vidx = _predraw_val_idx(val_n, 8, val_chunks)
+        raw = program(params, key, fold, gen._fold("val"), idx, vidx, 1e9)
+        assert int(raw["n_iters"]) == 7
+        assert int(raw["n_vals"]) == 2  # validations at iters 3 and 6 only
+        # final params moved past the iter-6 best checkpoint
+        diffs = [float(np.abs(np.asarray(f) - np.asarray(b)).max())
+                 for f, b in zip(jax.tree_util.tree_leaves(raw["final_params"]),
+                                 jax.tree_util.tree_leaves(raw["best_params"]))]
+        assert max(diffs) > 0
+
     def _run_sequential_experiment(self, model, gen, restart_keys, path, **kw):
         """The CLI's sequential restart chain (cli/run_simulation.py):
         init per restart, thread best_on_disk through the fused loop."""
