@@ -20,7 +20,7 @@ from . import common
 
 def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eval_config,
         num_flows=4, mc_size=50, arg_itr=None, curve_path=None, events_path=None,
-        val_criterion="forecast"):
+        val_criterion="forecast", restart_mode="seq", restart_devices=None):
     common.enable_compile_cache()
     key = host_key(seed)
 
@@ -37,20 +37,41 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
     niters = optim_config.niters if arg_itr is None else arg_itr
     best_on_disk = 1e9
     params = None
-    for _ in range(optim_config.n_restart):
-        key, k_init, k_train = host_split(key, 3)
-        params = init_vi(k_init, model)
-        if eval_only:
-            break
-        params, best_on_disk, _ = variational_training_loop(
-            niters=niters, data_generator=dg, model=model, params=params,
-            batch_size=optim_config.batch_size, lr=optim_config.lr,
-            test_freq=optim_config.test_freq, key=k_train, path=path,
+    if restart_mode != "seq" and not eval_only:
+        # Batched multi-restart experiment — same key chain as the
+        # sequential loop below, draw for draw (cli/run_simulation.py).
+        from ..inference.fused import fused_experiment_loop
+
+        restart_keys = []
+        for _ in range(optim_config.n_restart):
+            key, k_init, k_train = host_split(key, 3)
+            restart_keys.append((k_init, k_train))
+        params, best_on_disk, _ = fused_experiment_loop(
+            niters=niters, data_generator=dg, model=model,
+            restart_keys=restart_keys, batch_size=optim_config.batch_size,
+            lr=optim_config.lr, test_freq=optim_config.test_freq, path=path,
             best_on_disk=best_on_disk, early_stop=optim_config.early_stop,
-            shuffle=optim_config.shuffle,
-            val_criterion=val_criterion, val_t0=eval_config.t0,
-            curve_path=curve_path, events_path=events_path,
+            shuffle=optim_config.shuffle, val_criterion=val_criterion,
+            val_t0=eval_config.t0, curve_path=curve_path,
+            events_path=events_path,
+            restart_devices=(restart_devices or optim_config.n_restart)
+            if restart_mode == "shard" else None,
         )
+    else:
+        for _ in range(optim_config.n_restart):
+            key, k_init, k_train = host_split(key, 3)
+            params = init_vi(k_init, model)
+            if eval_only:
+                break
+            params, best_on_disk, _ = variational_training_loop(
+                niters=niters, data_generator=dg, model=model, params=params,
+                batch_size=optim_config.batch_size, lr=optim_config.lr,
+                test_freq=optim_config.test_freq, key=k_train, path=path,
+                best_on_disk=best_on_disk, early_stop=optim_config.early_stop,
+                shuffle=optim_config.shuffle,
+                val_criterion=val_criterion, val_t0=eval_config.t0,
+                curve_path=curve_path, events_path=events_path,
+            )
 
     if eval_only:
         params, _, best_loss = load_checkpoint(path, model.model_name)
@@ -85,6 +106,13 @@ def main(argv=None):
                         help="write iter,val_loss,train_loss CSV (exp_flow.csv format)")
     parser.add_argument("--events_path", default=None, type=str,
                         help="append JSONL training events")
+    parser.add_argument("--restart_mode", choices=["seq", "vmap", "shard"], default="seq",
+                        type=str,
+                        help="seq: one fused program per restart (default); vmap: ALL "
+                             "restarts batched into one device program; shard: vmap + "
+                             "restarts spread over a device mesh (zero collectives)")
+    parser.add_argument("--restart_devices", default=0, type=int,
+                        help="device count for --restart_mode=shard (default n_restart)")
     args = parser.parse_args(argv)
 
     data_config = common.resolve_data_config(args.data_config, args.sample)
@@ -92,7 +120,8 @@ def main(argv=None):
     run(args.seed, args.eval == "y", args.data_path, args.sample, data_config, args.path,
         optim_config, EvalConfig(t0=args.t0), args.num_flows, args.mc_size, args.arg_itr,
         curve_path=args.curve_path, events_path=args.events_path,
-        val_criterion=args.val_criterion)
+        val_criterion=args.val_criterion, restart_mode=args.restart_mode,
+        restart_devices=args.restart_devices or None)
 
 
 if __name__ == "__main__":
