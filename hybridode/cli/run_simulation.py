@@ -66,11 +66,10 @@ def run(
     params = None
 
     if restart_mode != "seq":
-        if dp_devices:
+        if dp_devices and restart_mode != "shard":
             raise ValueError(
-                "--restart_mode=vmap/shard does not compose with --dp (the "
-                "batched experiment trains each restart single-device); use "
-                "--restart_mode=shard to spread restarts over the mesh instead")
+                "--restart_mode=vmap does not compose with --dp; use "
+                "--restart_mode=shard with --dp for a 2-D restart x data mesh")
         if init_path is not None and not eval_only:
             raise ValueError(
                 "--restart_mode=vmap/shard does not support --init warm starts; "
@@ -105,6 +104,7 @@ def run(
             events_path=events_path,
             restart_devices=(restart_devices or optim_config.n_restart)
             if restart_mode == "shard" else None,
+            dp_devices=dp_devices if restart_mode == "shard" else None,
         )
     else:
         for i in range(optim_config.n_restart):

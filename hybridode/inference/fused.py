@@ -279,7 +279,8 @@ def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: 
 @functools.lru_cache(maxsize=32)
 def _cached_experiment_program(model: VIModel, lr: float, labels_key, val_criterion: str,
                                val_t0: int, niters: int, test_freq: int, early_stop: int,
-                               n_restart: int, restart_devices: int = 0):
+                               n_restart: int, restart_devices: int = 0,
+                               dp_devices: int = 0):
     """Compile the ENTIRE multi-restart experiment as one batched program.
 
     Restarts are independent until the final cross-restart argmin (the
@@ -299,21 +300,38 @@ def _cached_experiment_program(model: VIModel, lr: float, labels_key, val_criter
 
     This is restart-level parallelism the reference cannot express: its
     restart loop is inherently sequential host code.
+
+    ``dp_devices > 1`` composes BOTH axes on a 2-D (restart x data) device
+    mesh: each restart lane is itself data-parallel — mini-batch index
+    columns shard over the "data" axis with grads/losses pmean'd inside the
+    lane (exactly the fused-DP layout), while lanes shard over "restart"
+    with zero cross-lane collectives. An n_restart x n_dp experiment then
+    costs one data-parallel restart's wall-clock on n_restart*n_dp chips.
     """
+    dp = dp_devices > 1
     run = _make_run(model, lr, labels_key, val_criterion, val_t0, niters,
-                    test_freq, early_stop, dp_devices=0)
+                    test_freq, early_stop, dp_devices)
     batched = jax.vmap(run, in_axes=(0, 0, None, None, 0, None, None))
-    if restart_devices > 1:
-        from jax.sharding import PartitionSpec as P
+    if restart_devices > 1 or dp:
+        import numpy as _np
+        from jax.sharding import Mesh, PartitionSpec as P
 
-        from ..parallel.mesh import make_mesh
-
-        axis = "restart"
-        mesh = make_mesh(restart_devices, axis_name=axis)
+        r, d = max(1, restart_devices), max(1, dp_devices)
+        devices = jax.devices()
+        if r * d > len(devices):
+            raise ValueError(
+                f"requested a {r}x{d} (restart x data) mesh but only "
+                f"{len(devices)} devices are available")
+        mesh = Mesh(_np.asarray(devices[:r * d]).reshape(r, d), ("restart", "data"))
+        # idx columns shard over "data" within each lane's rows; folds
+        # replicated; per-lane while_loop predicates derive from pmean'd
+        # values, so all "data" shards of a lane take identical paths.
         batched = jax.shard_map(
             batched, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P(axis), P(), P()),
-            out_specs=P(axis), check_vma=False)
+            in_specs=(P("restart"), P("restart"), P(), P(),
+                      P("restart", None, "data") if dp else P("restart"),
+                      P(None, "data") if dp else P(), P()),
+            out_specs=P("restart"), check_vma=False)
     return jax.jit(batched)
 
 
@@ -322,6 +340,7 @@ def fused_experiment_loop(
     best_on_disk=1e9, early_stop=5, path="model/", shuffle=True,
     train_fold="train", train_expert=False, verbose=True, curve_path=None,
     events_path=None, val_criterion="elbo", val_t0=5, restart_devices=None,
+    dp_devices=None,
 ):
     """Run the whole n-restart experiment as ONE batched device program.
 
@@ -335,7 +354,9 @@ def fused_experiment_loop(
 
     ``restart_devices``: shard the restart axis over that many devices
     (must divide ``len(restart_keys)``); each device trains its share of
-    restarts with no collectives.
+    restarts with no collectives. ``dp_devices``: additionally make each
+    lane data-parallel over a second mesh axis (2-D restart x data mesh;
+    batch and validation chunk sizes must divide it).
 
     Returns ``(params, best_on_disk, wall)`` like the sequential loop after
     its final restart.
@@ -349,9 +370,16 @@ def fused_experiment_loop(
     rd = int(restart_devices) if restart_devices else 0
     if rd > 1 and n_restart % rd:
         raise ValueError(f"n_restart {n_restart} not divisible by restart_devices {rd}")
+    dp = int(dp_devices) if dp_devices else 0
 
     fold, fold_n, train_chunk, val_chunks, val_n = _fold_geometry(
         data_generator, batch_size, train_fold)
+    if dp > 1:
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} not divisible by dp_devices {dp}")
+        if min(batch_size, val_n) % dp:
+            raise ValueError(
+                f"validation chunk {min(batch_size, val_n)} not divisible by dp_devices {dp}")
 
     start = time.time()
 
@@ -371,7 +399,7 @@ def fused_experiment_loop(
     labels = _HashableTree(param_labels(params_list[0], train_expert))
     program = _cached_experiment_program(
         model, float(lr), labels, val_criterion, int(val_t0), int(niters),
-        int(test_freq), int(early_stop), n_restart, rd)
+        int(test_freq), int(early_stop), n_restart, rd, dp)
     # Each lane tracks its own best from 1e9; the cross-restart comparison
     # (the sequential loop's best_on_disk threading) happens at selection.
     out = program(params_st, keys_st, fold, data_generator._fold("val"),

@@ -270,15 +270,16 @@ def run(n_devices: int) -> float:
     np.testing.assert_allclose(best["fused"], best["host"], rtol=1e-5)
     print(f"dryrun fused-DP whole-restart parity: best={best['fused']:.4f} OK")
 
-    # Batched multi-restart experiment sharded over a "restart" mesh
-    # (--restart_mode=shard): each device trains its own restarts with zero
-    # collectives; the cross-restart argmin happens on the host. Parity vs
-    # the sequential chain is covered by
-    # tests/test_inference.py::test_fused_experiment_*; here the sharded
-    # program must compile and run two finite lanes. The raw program is
-    # driven directly (not via fused_experiment_loop) so every lane reuses
-    # the PINNED params0 — random per-lane inits blow up the expert dynamics
-    # on these shapes, exactly like the DP sections above.
+    # Batched multi-restart experiment on a 2-D (restart x data) mesh
+    # (--restart_mode=shard --dp): 2 restart lanes sharded over the first
+    # mesh axis with ZERO cross-lane collectives, each lane data-parallel
+    # over the second (grads/losses pmean'd within the lane); the
+    # cross-restart argmin happens on the host. Parity vs the sequential
+    # chain is covered by tests/test_inference.py::test_fused_experiment_*;
+    # here the 2-D program must compile and run two finite lanes. The raw
+    # program is driven directly (not via fused_experiment_loop) so every
+    # lane reuses the PINNED params0 — random per-lane inits blow up the
+    # expert dynamics on these shapes, exactly like the DP sections above.
     from hybridode.inference.fused import _cached_experiment_program
     from hybridode.inference.train import _HashableTree, param_labels
     from hybridode.utils.hostrng import host_key, host_split
@@ -290,8 +291,9 @@ def run(n_devices: int) -> float:
         lane_keys.append(_np.asarray(k_train))
 
     labels = _HashableTree(param_labels(params0, False))
+    dp_exp = n_devices // 2
     program = _cached_experiment_program(
-        model, 0.01, labels, "elbo", 5, 2, 1, 10, 2, 2)
+        model, 0.01, labels, "elbo", 5, 2, 1, 10, 2, 2, dp_exp)
     params_st = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), params0)
     dgx = _DG()
     lane_idx = _np.stack([_np.arange(n_devices), _np.arange(n_devices)])
@@ -301,7 +303,7 @@ def run(n_devices: int) -> float:
                   dgx._fold("val"), idx_st, val_idx, 1e9)
     best_lanes = _np.asarray(out["best_od"])
     assert best_lanes.shape == (2,) and _np.isfinite(best_lanes).all(), best_lanes
-    print(f"dryrun sharded batched-restart experiment: best={best_lanes.min():.4f} OK")
+    print(f"dryrun 2x{dp_exp} restart-x-data batched experiment: best={best_lanes.min():.4f} OK")
     return loss
 
 

@@ -328,6 +328,23 @@ class TestTrainingLoop:
         assert np.isclose(best_v, best_s, rtol=1e-5)
         assert os.path.exists(str(tmp_path) + "/s_" + model.model_name)
 
+        # 2-D restart x data mesh (2x2 of the 8 CPU devices): each lane
+        # data-parallel, lanes sharded. DP decorrelates per-shard MC noise
+        # (fold_in on the data axis index), so the parity target is the
+        # SEQUENTIAL fused-DP chain at dp_devices=2, not the plain vmap run.
+        best_seq_dp = 1e9
+        for k_init, k_train in restart_keys:
+            p0 = init_vi(k_init, model)
+            _, best_seq_dp, _ = variational_training_loop(
+                data_generator=gen, model=model, params=p0, key=k_train,
+                path=str(tmp_path) + "/sd_", best_on_disk=best_seq_dp,
+                verbose=False, fused=True, dp_devices=2, **kw)
+        _, best_2d, _ = fused_experiment_loop(
+            data_generator=gen, model=model, restart_keys=restart_keys,
+            path=str(tmp_path) + "/d_", verbose=False, restart_devices=2,
+            dp_devices=2, **kw)
+        assert np.isclose(best_seq_dp, best_2d, rtol=1e-5)
+
     def test_fused_loop_early_stop_and_nonfinite_gate(self, tmp_path):
         """Fused loop stops early (counter semantics) and survives a
         non-finite loss by aborting the restart like the host loop."""
