@@ -156,3 +156,35 @@ def build_real_model(
             ode_type=method,
         )
     return VIModel(kind="real", encoder_spec=enc, decoder_spec=dec, elbo=False, t0=t0, weight=weight)
+
+
+def run_batched_experiment(key, model, dg, *, n_restart, niters, batch_size, lr,
+                           test_freq, path, best_on_disk, early_stop, shuffle,
+                           val_criterion, val_t0, curve_path, events_path,
+                           restart_mode, restart_devices, dp_devices=None):
+    """Draw the sequential CLI's restart-key chain (host_split, one triple per
+    restart — draw-for-draw identical to the seq loop) and run the whole
+    experiment as ONE batched device program (--restart_mode=vmap/shard).
+
+    Shared by run_simulation and run_simulation_flow so the key-chain parity
+    contract and the shard/dp device resolution live in one place.
+    Returns (key, params, best_on_disk).
+    """
+    from ..inference.fused import fused_experiment_loop
+    from ..utils.hostrng import host_split
+
+    restart_keys = []
+    for _ in range(n_restart):
+        key, k_init, k_train = host_split(key, 3)
+        restart_keys.append((k_init, k_train))
+    shard = restart_mode == "shard"
+    params, best_on_disk, _ = fused_experiment_loop(
+        niters=niters, data_generator=dg, model=model, restart_keys=restart_keys,
+        batch_size=batch_size, lr=lr, test_freq=test_freq, path=path,
+        best_on_disk=best_on_disk, early_stop=early_stop, shuffle=shuffle,
+        val_criterion=val_criterion, val_t0=val_t0, curve_path=curve_path,
+        events_path=events_path,
+        restart_devices=(restart_devices or n_restart) if shard else None,
+        dp_devices=dp_devices if shard else None,
+    )
+    return key, params, best_on_disk

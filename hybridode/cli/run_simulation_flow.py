@@ -39,24 +39,16 @@ def run(seed, eval_only, data_path, sample, data_config, path, optim_config, eva
     params = None
     if restart_mode != "seq" and not eval_only:
         # Batched multi-restart experiment — same key chain as the
-        # sequential loop below, draw for draw (cli/run_simulation.py).
-        from ..inference.fused import fused_experiment_loop
-
-        restart_keys = []
-        for _ in range(optim_config.n_restart):
-            key, k_init, k_train = host_split(key, 3)
-            restart_keys.append((k_init, k_train))
-        params, best_on_disk, _ = fused_experiment_loop(
-            niters=niters, data_generator=dg, model=model,
-            restart_keys=restart_keys, batch_size=optim_config.batch_size,
-            lr=optim_config.lr, test_freq=optim_config.test_freq, path=path,
+        # sequential loop below, draw for draw (common.run_batched_experiment).
+        key, params, best_on_disk = common.run_batched_experiment(
+            key, model, dg, n_restart=optim_config.n_restart, niters=niters,
+            batch_size=optim_config.batch_size, lr=optim_config.lr,
+            test_freq=optim_config.test_freq, path=path,
             best_on_disk=best_on_disk, early_stop=optim_config.early_stop,
             shuffle=optim_config.shuffle, val_criterion=val_criterion,
             val_t0=eval_config.t0, curve_path=curve_path,
-            events_path=events_path,
-            restart_devices=(restart_devices or optim_config.n_restart)
-            if restart_mode == "shard" else None,
-        )
+            events_path=events_path, restart_mode=restart_mode,
+            restart_devices=restart_devices)
     else:
         for _ in range(optim_config.n_restart):
             key, k_init, k_train = host_split(key, 3)

@@ -81,6 +81,19 @@ def _predraw_val_idx(val_n, batch_size, val_chunks):
                      for c in range(val_chunks)]).astype(np.int32)
 
 
+def _check_dp_divisibility(dp, idx_stack, val_idx):
+    """Validate the ACTUAL sharded index widths (not the nominal batch_size —
+    the no-shuffle stream is min(batch_size, fold_n) wide)."""
+    if idx_stack.shape[-1] % dp:
+        raise ValueError(
+            f"train mini-batch width {idx_stack.shape[-1]} not divisible by "
+            f"dp_devices {dp}")
+    if val_idx.shape[-1] % dp:
+        raise ValueError(
+            f"validation chunk width {val_idx.shape[-1]} not divisible by "
+            f"dp_devices {dp}")
+
+
 def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
               val_t0: int, niters: int, test_freq: int, early_stop: int,
               dp_devices: int = 0):
@@ -313,16 +326,12 @@ def _cached_experiment_program(model: VIModel, lr: float, labels_key, val_criter
                     test_freq, early_stop, dp_devices)
     batched = jax.vmap(run, in_axes=(0, 0, None, None, 0, None, None))
     if restart_devices > 1 or dp:
-        import numpy as _np
-        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.eval import make_mesh_2d
 
         r, d = max(1, restart_devices), max(1, dp_devices)
-        devices = jax.devices()
-        if r * d > len(devices):
-            raise ValueError(
-                f"requested a {r}x{d} (restart x data) mesh but only "
-                f"{len(devices)} devices are available")
-        mesh = Mesh(_np.asarray(devices[:r * d]).reshape(r, d), ("restart", "data"))
+        mesh = make_mesh_2d(r, d, axis_names=("restart", "data"))
         # idx columns shard over "data" within each lane's rows; folds
         # replicated; per-lane while_loop predicates derive from pmean'd
         # values, so all "data" shards of a lane take identical paths.
@@ -374,12 +383,6 @@ def fused_experiment_loop(
 
     fold, fold_n, train_chunk, val_chunks, val_n = _fold_geometry(
         data_generator, batch_size, train_fold)
-    if dp > 1:
-        if batch_size % dp:
-            raise ValueError(f"batch_size {batch_size} not divisible by dp_devices {dp}")
-        if min(batch_size, val_n) % dp:
-            raise ValueError(
-                f"validation chunk {min(batch_size, val_n)} not divisible by dp_devices {dp}")
 
     start = time.time()
 
@@ -395,6 +398,8 @@ def fused_experiment_loop(
     idx_st = np.stack(idx_list)
     keys_st = np.stack(tkeys)
     val_idx = _predraw_val_idx(val_n, batch_size, val_chunks)
+    if dp > 1:
+        _check_dp_divisibility(dp, idx_st, val_idx)
 
     labels = _HashableTree(param_labels(params_list[0], train_expert))
     program = _cached_experiment_program(
@@ -511,10 +516,7 @@ def fused_training_loop(
 
     dp = int(dp_devices) if dp_devices else 0
     if dp > 1:
-        if batch_size % dp:
-            raise ValueError(f"batch_size {batch_size} not divisible by dp_devices {dp}")
-        if min(batch_size, val_n) % dp:
-            raise ValueError(f"validation chunk {min(batch_size, val_n)} not divisible by dp_devices {dp}")
+        _check_dp_divisibility(dp, idx_stack, val_idx)
     program = _cached_fused_program(
         model, float(lr), labels, val_criterion, int(val_t0), int(niters),
         int(test_freq), int(early_stop), int(val_chunks), dp)

@@ -291,7 +291,9 @@ def run(n_devices: int) -> float:
         lane_keys.append(_np.asarray(k_train))
 
     labels = _HashableTree(param_labels(params0, False))
-    dp_exp = n_devices // 2
+    # Index widths below are n_devices wide; the "data" axis must divide
+    # them, so odd device counts run restart-sharded only (dp_exp=1).
+    dp_exp = n_devices // 2 if n_devices % 2 == 0 else 1
     program = _cached_experiment_program(
         model, 0.01, labels, "elbo", 5, 2, 1, 10, 2, 2, dp_exp)
     params_st = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), params0)

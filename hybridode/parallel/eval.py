@@ -56,14 +56,17 @@ def _point_z0_block(model: VIModel, encoder_out, key, shard_idx, n_shards):
     return encoder_out[0]
 
 
-def make_mesh_2d(n_data: int, n_mc: int, devices=None) -> Mesh:
-    """(data, mc) mesh over the first n_data*n_mc devices."""
+def make_mesh_2d(n_data: int, n_mc: int, devices=None,
+                 axis_names=("data", "mc")) -> Mesh:
+    """2-D mesh over the first n_data*n_mc devices (default (data, mc))."""
     if devices is None:
         devices = jax.devices()
     n = n_data * n_mc
     if len(devices) < n:
-        raise ValueError(f"need {n} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_mc), ("data", "mc"))
+        raise ValueError(
+            f"requested a {n_data}x{n_mc} {axis_names} mesh but only "
+            f"{len(devices)} devices are available")
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_mc), tuple(axis_names))
 
 
 def make_sharded_eval_chunk(
