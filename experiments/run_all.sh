@@ -17,6 +17,7 @@ bash parity_elbo.sh noise
 bash stepspace_ab.sh
 SIDE=ours bash real_headtohead.sh     # SIDE=ref needs the torch queue (.ref_run)
 STANDIN=y bash real.sh
+bash real_budget.sh                   # niters=300-vs-1500 budget sensitivity
 python figures.py --which all
 python figures.py --which noise_elbo
 python figures.py --which headtohead
