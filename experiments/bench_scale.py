@@ -42,7 +42,9 @@ def field_flops(latent_dim: int) -> float:
 
 def main():
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+        from hybridode.utils.cache import host_keyed_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir(os.path.join(REPO, ".jax_cache")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -17,9 +17,11 @@ from ..models.encoders import EncoderLSTMRealSpec, EncoderLSTMSpec, EncoderPlana
 
 
 def enable_compile_cache():
-    cache = os.environ.get("HYBRIDODE_CACHE", os.path.join(os.getcwd(), ".jax_cache"))
+    from ..utils.cache import host_keyed_cache_dir
+
+    base = os.environ.get("HYBRIDODE_CACHE", os.path.join(os.getcwd(), ".jax_cache"))
     try:
-        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir(base))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -28,8 +28,12 @@ def _force_cpu(n_devices: int) -> None:
     jax.config.update("jax_num_cpu_devices", n_devices)
     jax.config.update("jax_enable_x64", False)
     # Single-core sandbox: persistent cache amortizes the solver-scan compiles.
+    # Keyed by host CPU features so an AOT blob compiled on a previous host
+    # can never be loaded here (cross-host hits risk SIGILL — VERDICT r4 #6).
+    from hybridode.utils.cache import host_keyed_cache_dir
+
     cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -22,5 +22,9 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # This sandbox has a single CPU core: XLA-CPU compiles of the solver scans
 # take minutes. The persistent cache amortizes them across test runs.
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# Host-keyed so AOT blobs from a previous sandbox host can't SIGILL here.
+from hybridode.utils.cache import host_keyed_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  host_keyed_cache_dir(os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
