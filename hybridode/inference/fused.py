@@ -39,9 +39,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.experimental import io_callback
 
 from . import checkpoint as ckpt
 from .elbo import VIModel, forecast_loss, forecast_loss_terms, loss_fn
+
+# --- mid-restart durability flush (opt-in, VERDICT r4 #8) ---------------------
+# The fused restart checkpoints once when the program RETURNS; a process
+# killed mid-restart loses that restart's best. With flush enabled, the
+# window loop additionally streams (best_od, best_params, ...) to the host
+# once per validation window via an ordered io_callback, and a host-side
+# sink writes the checkpoint every K-th window (only when it improves on
+# what's already on disk) — a kill then loses at most K windows. The sink
+# is a module slot rather than a program closure so the compiled program
+# stays reusable across paths/runs (the lru_cache below keys programs by
+# protocol, not by output directory).
+_FLUSH_SINK = None
+_LAST_FLUSH_SINK = None  # kept for tests/observability
+
+
+class _FlushSink:
+    def __init__(self, path, model_name, every, incoming_best):
+        self.path = path
+        self.model_name = model_name
+        self.every = max(1, int(every))
+        self.written_od = float(incoming_best)
+        self.calls = 0
+        self.writes = 0
+
+    def __call__(self, payload):
+        self.calls += 1
+        if self.calls % self.every:
+            return
+        if not bool(payload["improved"]):
+            return
+        od = float(payload["best_od"])
+        if od >= self.written_od:
+            return
+        params = jax.tree_util.tree_map(np.asarray, payload["best_params"])
+        ckpt.save_checkpoint(self.path, self.model_name, params,
+                             int(payload["best_itr"]), od)
+        self.written_od = od
+        self.writes += 1
+
+
+def _flush_to_sink(payload):
+    sink = _FLUSH_SINK
+    if sink is not None:
+        sink(payload)
 
 
 def _gather(data, idx):
@@ -96,7 +141,7 @@ def _check_dp_divisibility(dp, idx_stack, val_idx):
 
 def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
               val_t0: int, niters: int, test_freq: int, early_stop: int,
-              dp_devices: int = 0):
+              dp_devices: int = 0, flush: bool = False):
     """Build the pure whole-restart function (no jit/sharding applied).
 
     Signature of the returned ``run``:
@@ -159,8 +204,11 @@ def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
 
         def train_step(carry, itr):
             # Host-loop parity: the step that OBSERVES a non-finite loss
-            # still applies its update (training_utils.py applies the Adam
-            # step before the finite gate); steps after a dead step freeze.
+            # still applies its update — this mirrors our own host loop
+            # (inference/train.py runs the jitted Adam step, then gates on
+            # finiteness), which is the bit-parity target for this program;
+            # steps after a dead step freeze. (The reference breaks before
+            # optimizer.step() because the exception escapes model.loss.)
             key, params, opt_state, alive, last_loss, last_itr = carry
             batch = _gather(data_train, idx_stack[(itr - 1) % idx_stack.shape[0]])
             key, k_step = jax.random.split(key)
@@ -207,6 +255,16 @@ def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
             ctr = ctr.at[iv].set(jnp.where(alive, tr_loss.astype(jnp.float32), ctr[iv]))
             n_vals = n_vals + jnp.where(alive, 1, 0)
             nf = jnp.logical_not(alive)
+            if flush:
+                # Ordered host callback once per window; the host sink
+                # decides whether this K-th window writes a checkpoint.
+                # Device math is untouched (the payload is read-only), so
+                # flush on/off programs are bit-identical (tested).
+                io_callback(
+                    _flush_to_sink, None,
+                    dict(best_od=best_od, best_itr=best_itr,
+                         improved=improved, best_params=best_params),
+                    ordered=True)
             return (w + 1, key, params, opt_state, best_run, counter, best_od,
                     best_params, best_itr, improved, cit, cval, ctr, n_vals, nf,
                     last_itr)
@@ -252,7 +310,7 @@ def _make_run(model: VIModel, lr: float, labels_key, val_criterion: str,
 @functools.lru_cache(maxsize=32)
 def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: str,
                           val_t0: int, niters: int, test_freq: int, early_stop: int,
-                          n_val_chunks: int, dp_devices: int = 0):
+                          n_val_chunks: int, dp_devices: int = 0, flush: bool = False):
     """Compile one whole-restart program per (model, protocol) combination.
 
     The restart loop re-enters with identical settings; lru_cache keeps the
@@ -268,7 +326,7 @@ def _cached_fused_program(model: VIModel, lr: float, labels_key, val_criterion: 
     """
     dp = dp_devices > 1
     run = _make_run(model, lr, labels_key, val_criterion, val_t0, niters,
-                    test_freq, early_stop, dp_devices)
+                    test_freq, early_stop, dp_devices, flush=flush)
     axis = "data"
 
     if not dp:
@@ -481,6 +539,7 @@ def fused_training_loop(
     best_on_disk=1e9, early_stop=5, path="model/", shuffle=True,
     train_fold="train", train_expert=False, verbose=True, curve_path=None,
     events_path=None, val_criterion="elbo", val_t0=5, dp_devices=None,
+    flush_every=None,
 ):
     """Drop-in replacement for variational_training_loop.
 
@@ -496,7 +555,15 @@ def fused_training_loop(
     written ONCE when the restart program returns, not on every validation
     improvement — a process killed mid-restart loses that restart's best.
     Set HYBRIDODE_FUSED=0 (or pass fused=False) to keep the host loop's
-    save-on-every-improvement behavior.
+    save-on-every-improvement behavior, or set ``flush_every=K`` (env
+    HYBRIDODE_FLUSH_EVERY=K) to additionally stream the best-so-far to the
+    host once per validation window and write it to disk every K-th window
+    when it improves on what's already there — a kill then loses at most K
+    windows of progress. The flush uses an ordered io_callback whose payload
+    is read-only, so device math (and hence the returned params) is
+    bit-identical with flush on or off; it costs one D2H transfer per window
+    and is therefore opt-in (single-restart programs only; the vmapped
+    experiment loop can't order host callbacks across lanes).
     """
     from ..utils import CSVCurveLogger, JSONLLogger
     from ..utils.hostrng import host_randint
@@ -517,12 +584,27 @@ def fused_training_loop(
     dp = int(dp_devices) if dp_devices else 0
     if dp > 1:
         _check_dp_divisibility(dp, idx_stack, val_idx)
+
+    import os
+
+    global _FLUSH_SINK, _LAST_FLUSH_SINK
+    if flush_every is None:
+        flush_every = int(os.environ.get("HYBRIDODE_FLUSH_EVERY", "0"))
+    flush_every = int(flush_every or 0)
+
     program = _cached_fused_program(
         model, float(lr), labels, val_criterion, int(val_t0), int(niters),
-        int(test_freq), int(early_stop), int(val_chunks), dp)
-    out = program(params, np.asarray(key), fold, data_generator._fold("val"),
-                  idx_stack, val_idx, float(best_on_disk))
-    out = {k: np.asarray(v) if not isinstance(v, dict) else v for k, v in out.items()}
+        int(test_freq), int(early_stop), int(val_chunks), dp,
+        flush=flush_every > 0)
+    if flush_every > 0:
+        _FLUSH_SINK = _LAST_FLUSH_SINK = _FlushSink(
+            path, model.model_name, flush_every, best_on_disk)
+    try:
+        out = program(params, np.asarray(key), fold, data_generator._fold("val"),
+                      idx_stack, val_idx, float(best_on_disk))
+        out = {k: np.asarray(v) if not isinstance(v, dict) else v for k, v in out.items()}
+    finally:
+        _FLUSH_SINK = None
 
     wall = time.time() - start
 
