@@ -101,7 +101,10 @@ def _pause_own_queues():
 
 def main():
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        from hybridode.utils.cache import host_keyed_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir",
+                          host_keyed_cache_dir(os.path.join(os.path.dirname(__file__), ".jax_cache")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -294,6 +297,108 @@ def main():
         file=sys.stderr,
     )
 
+    # ----- Utilization-meaningful extensions (VERDICT r4 #2) -----------------
+    # The reference-shape epoch above deliberately times the reference's own
+    # microscopic shapes (batch 50, one step per dispatch), where the chip is
+    # dispatch-latency-bound and MFU is ~0.06%. Two further measurements make
+    # the artifact utilization-meaningful:
+    #   full_experiment_seconds — the WHOLE sweep cell (3 restarts x 400
+    #     iters + early-stop + validation + test eval) as one batched device
+    #     program (--restart_mode=vmap; inference/fused.py), i.e. what a user
+    #     actually waits for. Steady-state: first run warms the compile
+    #     cache, the second is reported.
+    #   large_batch_* — the same train step at B=1000 (the whole cohort per
+    #     step), with XLA-cost-model FLOPs -> achieved GFLOP/s and MFU
+    #     against the TPU v5e f32 peak (matmul precision is pinned highest
+    #     framework-wide, so f32 is the honest denominator — roofline.py).
+    # Default-on for real backends; skipped on CPU smoke runs unless forced
+    # (BENCH_FULL=1 / BENCH_MFU=1; =0 disables anywhere). Only the default
+    # protocol runs them, so A/B knob runs stay fast.
+    default_protocol = (not calibrated and max_steps == 256 and not use_adjoint
+                        and not max_record and not fused_epoch)
+    on_cpu = jax.default_backend() == "cpu"
+    extras = {}
+
+    if default_protocol and os.environ.get("BENCH_FULL", "") != "0" and (
+            not on_cpu or os.environ.get("BENCH_FULL") == "1"):
+        import shutil
+        import tempfile
+
+        from hybridode.cli.common import run_batched_experiment
+        from hybridode.eval import evaluate
+        from hybridode.utils.hostrng import host_key
+
+        def full_experiment(seed):
+            tmp = tempfile.mkdtemp(prefix="bench_full_")
+            try:
+                t0 = time.time()
+                key, exp_params, _ = run_batched_experiment(
+                    host_key(seed), model, dg, n_restart=3, niters=400,
+                    batch_size=batch_size, lr=0.01, test_freq=10, path=tmp,
+                    best_on_disk=1e9, early_stop=10, shuffle=True,
+                    val_criterion="elbo", val_t0=5, curve_path=None,
+                    events_path=None, restart_mode="vmap",
+                    restart_devices=None, dp_devices=None)
+                with contextlib.redirect_stdout(sys.stderr):
+                    evaluate(exp_params, model, dg, batch_size=50, t0=5,
+                             mc_itr=50, verbose=False)
+                return time.time() - t0
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        cold = full_experiment(666)   # warms the persistent compile cache
+        warm = full_experiment(667)   # steady-state: what a sweep pays per cell
+        print(f"full experiment (3x400+eval, restart_mode=vmap): "
+              f"cold {cold:.1f}s, warm {warm:.1f}s", file=sys.stderr)
+        extras.update({
+            "full_experiment_seconds": round(warm, 2),
+            "full_experiment_protocol": "3 restarts x 400 iters + ELBO val + "
+                                        "mc50 test eval, restart_mode=vmap, "
+                                        "steady-state (compile cached)",
+        })
+
+    if default_protocol and os.environ.get("BENCH_MFU", "") != "0" and (
+            not on_cpu or os.environ.get("BENCH_MFU") == "1"):
+        B = int(os.environ.get("BENCH_MFU_BATCH", "1000"))
+        big_batch = dg.get_mini_batch("train", B, np.random.RandomState(3))
+        mfu_key = jax.random.PRNGKey(11)
+        lowered = jax.jit(step).lower(params, opt_state, big_batch, mfu_key)
+        flops = 0.0
+        try:
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+        def big_run(n):
+            p, o, k, loss = params, opt_state, mfu_key, None
+            for _ in range(n):
+                k, ks = jax.random.split(k)
+                p, o, loss = step(p, o, big_batch, ks)
+            return loss
+
+        jax.block_until_ready(big_run(2))  # warm
+        big_times = []
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(big_run(10))
+            big_times.append((time.time() - t0) / 10)
+        big_sec = min(big_times)
+        peak_f32 = float(os.environ.get("ROOFLINE_PEAK_F32_TFLOPS", "98.5e12"))
+        extras.update({
+            "large_batch": B,
+            "large_batch_step_seconds": round(big_sec, 5),
+            "large_batch_achieved_gflops": round(flops / big_sec / 1e9, 1) if flops else None,
+            # Peak denominator is TPU v5e f32; meaningless off-TPU.
+            "large_batch_mfu_pct_f32": (round(100 * flops / big_sec / peak_f32, 3)
+                                        if flops and not on_cpu else None),
+        })
+        print(f"large-batch B={B}: {big_sec * 1e3:.2f} ms/step, "
+              f"{extras['large_batch_achieved_gflops']} GFLOP/s, "
+              f"MFU(f32) {extras['large_batch_mfu_pct_f32']}%", file=sys.stderr)
+
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_TORCH.json")
     vs_baseline = 0.0
     if os.path.exists(baseline_path):
@@ -309,10 +414,11 @@ def main():
         "solver_steps_per_sec": round(solver_steps_per_sec, 1),
         "solver_accepted_steps_per_batch": n_accepted,
         "solver_trial_steps_per_batch": n_trial,
+        **extras,
         **({"calibrated_max_steps": calibrated} if calibrated else {}),
     }
     print(json.dumps(result))
-    if not calibrated and max_steps == 256 and not use_adjoint and not max_record and not fused_epoch:
+    if default_protocol:
         _save_last_good(result)  # only the default protocol updates the fallback
 
 
@@ -382,7 +488,14 @@ def _probe_tunnel():
     if fallback and fallback.get("value") is not None:
         fallback.update({"stale": True, "error": error})
         print(json.dumps(fallback))
-        sys.exit(0)
+        # The JSON line is a STALE re-emission of the last good measurement,
+        # not a fresh run — consumers parsing the payload must check the
+        # `stale` flag before comparing values. HYBRIDODE_BENCH_STRICT=1
+        # additionally exits 4 so exit-status consumers can't mistake the
+        # fallback for success; the default stays 0 because the round driver
+        # records this process's stdout as the round's BENCH artifact and a
+        # stale-labeled artifact beats a missing one.
+        sys.exit(4 if os.environ.get("HYBRIDODE_BENCH_STRICT") == "1" else 0)
     print(json.dumps({
         "metric": "hybrid_lhm_dim8_epoch_wallclock", "value": None,
         "unit": "s/epoch", "vs_baseline": None, "error": error,
