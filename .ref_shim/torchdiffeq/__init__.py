@@ -89,9 +89,14 @@ def odeint(func, y0, t, rtol=1e-7, atol=1e-8, method="dopri5", options=None):
         h = h * factor
     if next_idx < len(t):
         # Mirror torchdiffeq's max_num_steps assertion: a stalled integration
-        # must raise, not return plausible-looking padded trajectories (the
-        # reference training loop catches RuntimeError gracefully,
-        # training_utils.py:43-47).
+        # must raise, not return plausible-looking padded trajectories.
+        # Fidelity note: real torchdiffeq raises AssertionError('max_num_steps
+        # exceeded'), which the reference loop's `except RuntimeError`
+        # (training_utils.py:43-47) would NOT catch — under real torchdiffeq
+        # the run would crash. We raise RuntimeError deliberately so a
+        # control run aborts the restart gracefully (the reference's intended
+        # recovery path) instead of dying mid-experiment; this is a strictly
+        # more charitable-to-the-reference control semantics.
         raise RuntimeError(
             f"dopri5 exhausted its 20000-iteration budget at t={float(tt):.6g} "
             f"before reaching t[-1]={float(t_final):.6g}")

@@ -214,8 +214,11 @@ def odeint_dopri5_adjoint(
 
     When `max_record < max_steps` (the only configuration where truncation is
     possible — accepted steps never exceed the trial budget), a host callback
-    additionally raises a RuntimeWarning at runtime whenever a solve overflows
-    the record, so truncated-gradient training cannot pass silently. The
+    additionally emits a RuntimeWarning (warnings.warn — non-fatal, and
+    subject to the warning filters' once-per-location dedup) at runtime
+    whenever a solve overflows the record, so the first truncated-gradient
+    step cannot pass silently; promote with `-W error::RuntimeWarning` or
+    `warnings.simplefilter("always")` if every overflow must be visible. The
     callback is not inserted at all for the safe default, keeping the hot
     path free of host traffic.
     """
