@@ -346,19 +346,27 @@ def main():
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
-        cold = full_experiment(666)   # warms the persistent compile cache
-        warm = full_experiment(667)   # steady-state: what a sweep pays per cell
-        print(f"full experiment (3x400+eval, restart_mode=vmap): "
-              f"cold {cold:.1f}s, warm {warm:.1f}s", file=sys.stderr)
-        extras.update({
-            "full_experiment_seconds": round(warm, 2),
-            "full_experiment_protocol": "3 restarts x 400 iters + ELBO val + "
-                                        "mc50 test eval, restart_mode=vmap, "
-                                        "steady-state (compile cached)",
-        })
+        # Guarded: the headline epoch above is already measured, and a null
+        # BENCH artifact is strictly worse than one missing the extras — two
+        # rounds of relay outage taught us never to risk the whole artifact
+        # on an optional section.
+        try:
+            cold = full_experiment(666)   # warms the persistent compile cache
+            warm = full_experiment(667)   # steady-state: what a sweep pays per cell
+            print(f"full experiment (3x400+eval, restart_mode=vmap): "
+                  f"cold {cold:.1f}s, warm {warm:.1f}s", file=sys.stderr)
+            extras.update({
+                "full_experiment_seconds": round(warm, 2),
+                "full_experiment_protocol": "3 restarts x 400 iters + ELBO val + "
+                                            "mc50 test eval, restart_mode=vmap, "
+                                            "steady-state (compile cached)",
+            })
+        except Exception as e:
+            print(f"full-experiment bench failed (headline unaffected): {e!r}",
+                  file=sys.stderr)
+            extras["full_experiment_error"] = repr(e)
 
-    if default_protocol and os.environ.get("BENCH_MFU", "") != "0" and (
-            not on_cpu or os.environ.get("BENCH_MFU") == "1"):
+    def mfu_section():
         B = int(os.environ.get("BENCH_MFU_BATCH", "1000"))
         big_batch = dg.get_mini_batch("train", B, np.random.RandomState(3))
         mfu_key = jax.random.PRNGKey(11)
@@ -386,6 +394,7 @@ def main():
             jax.block_until_ready(big_run(10))
             big_times.append((time.time() - t0) / 10)
         big_sec = min(big_times)
+        # Same env-var convention as experiments/roofline.py (value in FLOP/s).
         peak_f32 = float(os.environ.get("ROOFLINE_PEAK_F32_TFLOPS", "98.5e12"))
         extras.update({
             "large_batch": B,
@@ -398,6 +407,14 @@ def main():
         print(f"large-batch B={B}: {big_sec * 1e3:.2f} ms/step, "
               f"{extras['large_batch_achieved_gflops']} GFLOP/s, "
               f"MFU(f32) {extras['large_batch_mfu_pct_f32']}%", file=sys.stderr)
+
+    if default_protocol and os.environ.get("BENCH_MFU", "") != "0" and (
+            not on_cpu or os.environ.get("BENCH_MFU") == "1"):
+        try:  # guarded for the same reason as the full-experiment section
+            mfu_section()
+        except Exception as e:
+            print(f"MFU bench failed (headline unaffected): {e!r}", file=sys.stderr)
+            extras["large_batch_error"] = repr(e)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_TORCH.json")
     vs_baseline = 0.0
