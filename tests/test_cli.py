@@ -29,7 +29,11 @@ DC = DataConfig(obs_dim=8, latent_dim=6)
 
 
 class TestRunSimulation:
-    @pytest.mark.parametrize("method", ["expert", "hybrid", "neural"])
+    @pytest.mark.parametrize("method", [
+        pytest.param("expert", marks=pytest.mark.slow),
+        pytest.param("hybrid", marks=pytest.mark.slow),
+        "neural",  # one end-to-end train+eval stays in the fast tier
+    ])
     def test_train_and_eval(self, small_data, method, tmp_path):
         from hybridode.cli.run_simulation import run
 
@@ -45,6 +49,7 @@ class TestRunSimulation:
 
 
 class TestEnsembleResidual:
+    @pytest.mark.slow
     def test_ensemble_pipeline(self, small_data, tmp_path):
         from hybridode.cli.run_simulation import run as run_sim
         from hybridode.cli.run_simulation_ensemble import run as run_ens
@@ -59,6 +64,7 @@ class TestEnsembleResidual:
         run_ens(seed=1, data_path=data_path, sample=8, data_config=DC, path=path,
                 optim_config=OptimConfig(batch_size=8), eval_config=EvalConfig(t0=5))
 
+    @pytest.mark.slow
     def test_residual_pipeline(self, small_data, tmp_path):
         from hybridode.cli.run_simulation import run as run_sim
         from hybridode.cli.run_simulation_residual import run as run_res
@@ -74,6 +80,7 @@ class TestEnsembleResidual:
 
 
 class TestFlow:
+    @pytest.mark.slow
     def test_flow_training(self, small_data, tmp_path):
         from hybridode.cli.run_simulation_flow import run
 
@@ -85,6 +92,7 @@ class TestFlow:
 
 
 class TestRunEval:
+    @pytest.mark.slow
     def test_horizon_eval(self, small_data, tmp_path):
         from hybridode.cli.run_eval import run as run_eval
         from hybridode.cli.run_simulation import run as run_sim
@@ -117,6 +125,7 @@ class TestRunReal:
             model_dir=str(tmp_path / "m") + "/",
         )
 
+    @pytest.mark.slow
     def test_real_ode_pipeline(self, tmp_path):
         from hybridode.cli.run_real import run
 

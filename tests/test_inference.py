@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hybridode.inference import (
     VIModel,
@@ -78,6 +79,7 @@ class TestLosses:
         assert kl1.shape == (8,)
         np.testing.assert_allclose(kl1, kl2, rtol=0.1, atol=0.5)
 
+    @pytest.mark.slow
     def test_flow_loss(self):
         from hybridode.models.encoders import EncoderPlanarLSTMSpec
 
@@ -198,6 +200,7 @@ class TestTrainingLoop:
         for a, b in zip(jax.tree_util.tree_leaves(p_host), jax.tree_util.tree_leaves(p_fused)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_fused_loop_flush_durability(self, tmp_path):
         """flush_every=K (VERDICT r4 #8): the fused program streams its
         best-so-far to a host sink once per validation window; every K-th
@@ -230,6 +233,7 @@ class TestTrainingLoop:
         _, _, best = ckpt_mod.load_checkpoint(str(tmp_path) + "/on_", model.model_name)
         assert np.isclose(best, out["on"][1], rtol=1e-6)
 
+    @pytest.mark.slow
     def test_fused_loop_matches_host_loop_val_fold_noshuffle(self, tmp_path):
         """The residual pipeline's configuration (shuffle=False,
         train_fold='val' — run_simulation_residual.py): the fused loop's
@@ -253,6 +257,7 @@ class TestTrainingLoop:
                         jax.tree_util.tree_leaves(out["fused"][0])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_fused_loop_matches_host_loop_remainder_iters(self, tmp_path):
         """niters NOT divisible by test_freq: the windowed program's trailing
         scan must run the post-validation iterations exactly like the host
@@ -308,6 +313,7 @@ class TestTrainingLoop:
                 path=path, best_on_disk=best, verbose=False, fused=True, **kw)
         return params, best
 
+    @pytest.mark.slow
     def test_fused_experiment_matches_sequential_restarts(self, tmp_path):
         """The batched multi-restart program (vmap of the whole-restart
         while_loop, fused_experiment_loop) selects the same checkpoint with
@@ -335,6 +341,7 @@ class TestTrainingLoop:
         for a, b in zip(jax.tree_util.tree_leaves(p_seq), jax.tree_util.tree_leaves(p_bat)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_fused_experiment_sharded_restarts(self, tmp_path):
         """--restart_mode=shard: the vmapped experiment shard_map'd over a
         'restart' mesh (2 of the 8 CPU devices) returns the same selection

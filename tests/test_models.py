@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hybridode.models import nn
 from hybridode.models.decoders import (
@@ -183,6 +184,7 @@ class TestDecoders:
         assert h.shape == (15, B, latent)
         assert bool(jnp.all(jnp.isfinite(x_hat)))
 
+    @pytest.mark.slow
     def test_sim_decoder_adjoint_matches_scan(self):
         # Per-sample control: custom-VJP backward vs bounded-scan backward
         # must agree in values AND parameter gradients.
@@ -213,6 +215,7 @@ class TestDecoders:
             g_adj, g_scan,
         )
 
+    @pytest.mark.slow
     def test_sim_decoder_lockstep_adjoint_matches_scan(self):
         # Batched lockstep (one controller per batch, torchdiffeq semantics,
         # model.py:1116-1118): the while_loop-adjoint implementation must

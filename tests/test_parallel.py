@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hybridode.inference import VIModel, init_vi, loss_fn, make_optimizer
 from hybridode.models.decoders import SimDecoderSpec
@@ -146,6 +147,7 @@ class TestDPTrainingLoop:
             params=params, path=str(tmp_path) + "/sd_", **kw)
         np.testing.assert_allclose(best_dp, best_1, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_fused_dp_loop_matches_host_dp_loop(self, tmp_path):
         """The whole-restart device program composed with DP (shard_map inside
         the while_loop, inference/fused.py) bit-mirrors the host-driven DP
@@ -193,6 +195,7 @@ class TestDPTrainingLoop:
         for a, b in zip(jax.tree_util.tree_leaves(p_host), jax.tree_util.tree_leaves(p_fused)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_fused_dp_forecast_criterion_matches_host(self, tmp_path):
         """forecast validation under DP: the fused program psums the masked-MSE
         num/den terms — must match the host DP loop's global forecast loss."""
@@ -241,6 +244,7 @@ class TestGraftEntry:
         loss = jax.jit(fn)(*args)
         assert np.isfinite(float(loss))
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import sys
 

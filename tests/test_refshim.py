@@ -41,6 +41,7 @@ def test_shim_dopri5_matches_scipy():
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_shim_dopri5_raises_on_budget_exhaustion():
     """A stalled integration must raise (mirroring torchdiffeq's
     max_num_steps assertion), not silently pad the output grid with the
