@@ -139,6 +139,8 @@ class TestRunReal:
 
 
 class TestEvalMesh:
+    @pytest.mark.slow  # ~22 s: trains then re-evals via the CLI twice; the
+    # sharded-eval parity itself is covered in-process by tests/test_parallel.py
     def test_eval_mesh_cli_path(self, small_data, tmp_path, capsys):
         """--eval_mesh DPxMC: the CLI's sharded-eval branch produces the same
         CSV metrics as the single-device eval (same key schedule)."""
