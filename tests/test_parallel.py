@@ -253,6 +253,24 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(8)
 
+    def test_spurious_aot_warning_filter(self):
+        """Only the prefer-no-{scatter,gather} pseudo-feature loader errors are
+        dropped; a genuine ISA mismatch (real feature named) passes through."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        spurious = ("E0818 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result. "
+                    "Target machine feature +prefer-no-scatter is not  supported "
+                    "on the host machine.\n")
+        real = ("E0818 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result. "
+                "Target machine feature +avx512f is not  supported on the host "
+                "machine.\n")
+        other = "dryrun_multichip(8): loss=1.0 OK\n"
+        out = ge._filter_spurious_aot_warnings(spurious + real + other)
+        assert out == real + other
+
 
 class TestShardedEval:
     def test_sharded_eval_matches_single_device(self):
