@@ -51,7 +51,7 @@ def _pause_own_queues():
                 cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
         except OSError:
             return False
-        markers = ("hybridode", "/root/repo", "ref_run", "cpuqueue", "run_queue")
+        markers = ("hybridode", "/root/repo", "ref_run", "cpuqueue", "cpu_queue", "run_queue")
         return any(m in cmd for m in markers)
 
     stopped = []
@@ -85,8 +85,11 @@ def _pause_own_queues():
         # Deadman unfreezer: if this process is SIGKILLed mid-bench the
         # finally below never runs — a detached sleeper guarantees the queue
         # resumes regardless (a second CONT to a running process is a no-op).
+        # 2700 s covers the full-experiment + MFU sections (the chain script
+        # bounds the whole bench at 2400 s) so the queue can't thaw inside a
+        # timed window.
         os.system(
-            "nohup bash -c 'sleep 1200; kill -CONT %s 2>/dev/null' >/dev/null 2>&1 &"
+            "nohup bash -c 'sleep 2700; kill -CONT %s 2>/dev/null' >/dev/null 2>&1 &"
             % " ".join(map(str, stopped))
         )
     try:
@@ -435,8 +438,12 @@ def main():
         **({"calibrated_max_steps": calibrated} if calibrated else {}),
     }
     print(json.dumps(result))
-    if default_protocol:
-        _save_last_good(result)  # only the default protocol updates the fallback
+    if default_protocol and not on_cpu:
+        # Only a default-protocol run on the REAL backend updates the outage
+        # fallback — a CPU smoke run must never replace the TPU measurement
+        # the driver falls back to (caught live in round 5: a forced-CPU
+        # BENCH_MFU smoke overwrote the 0.0149 s/epoch TPU record).
+        _save_last_good(result)
 
 
 _LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json")
